@@ -1,0 +1,218 @@
+"""Typed configuration schema.
+
+Covers the reference INI surface verbatim — sections ``[audio] [dataset] [VAE]
+[training] [notes] [extra]`` as enumerated in ``/root/reference/default.ini:1-43``
+— plus a new optional ``[tpu]`` section for TPU-native knobs that have no
+reference equivalent (precision, kernel backend, mesh shape, microbatching).
+
+Reference quirks handled here (SURVEY.md appendix):
+  * ``generate_test`` was read with ``.get()`` in the reference
+    (``train.py:65``), so the string ``"False"`` was truthy and the flag could
+    never be disabled.  We parse it as a real boolean (quirk #8, fixed).
+  * Dead reference keys (``loss_reduction``, ``check_audio``, ``check_dataset``,
+    ``device``, ``example_length``, ``normalize_examples``, ``plot_model`` —
+    quirk #9) are accepted and carried so reference configs round-trip, and
+    ``loss_reduction`` is actually honored by our loss (mean/sum).
+  * ``IterableAudioDataset`` hard-coded ``segment_length = 1024``
+    (``dataset.py:66``, quirk #2): our streaming path honors the config value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+
+@dataclass
+class AudioConfig:
+    """``[audio]`` — default.ini:2-5."""
+
+    sampling_rate: int = 44100
+    hop_length: int = 128
+    segment_length: int = 1024
+
+    def validate(self) -> None:
+        if self.segment_length <= 0 or self.hop_length <= 0:
+            raise ValueError("segment_length and hop_length must be positive")
+        # AudioDataset contract: dataset.py:97-98.
+        if self.segment_length % self.hop_length != 0:
+            raise ValueError(
+                f"segment_length {self.segment_length} is not a multiple of "
+                f"hop_size {self.hop_length}"
+            )
+
+
+@dataclass
+class DatasetConfig:
+    """``[dataset]`` — default.ini:8-15."""
+
+    datapath: str = ""
+    test_dataset: str = "test_audio"
+    generate_test: bool = True          # parsed as a true boolean (quirk #8 fix)
+    check_audio: bool = True            # dead in reference; accepted
+    check_dataset: bool = True          # dead in reference; accepted
+    workspace: str = ""                 # written back at run start (train.py:109)
+    run_number: int = 0
+    total_frames: str = ""              # written back after ingest (train.py:130)
+    # How stereo is collapsed to mono.  The reference differs between its two
+    # ingest paths: librosa.load averages channels (train.py:120) while the
+    # streaming loader keeps the first channel (dataset.py:54-55).
+    mono: str = "mean"                  # "mean" | "first"
+
+    @property
+    def datapath_path(self) -> Path:
+        return Path(self.datapath)
+
+
+@dataclass
+class VAEConfig:
+    """``[VAE]`` — default.ini:17-21."""
+
+    latent_dim: int = 256
+    n_units: int = 2048
+    kl_beta: float = 1e-4
+    device: str = "tpu"                 # reference key (dead there, train.py:88)
+    device_name: str = ""               # written back at run start (train.py:91)
+    # Model family: "dense" (reference rawvae/model.py:5-35), "deep" (4-layer
+    # encoder/decoder wide variant), "conv1d" (strided conv / transpose-conv).
+    arch: str = "dense"
+    # deep variant: hidden widths outermost→innermost, e.g. "4096,2048,1024".
+    hidden_dims: str = ""
+    # conv1d variant: channel progression and kernel/stride config.
+    conv_channels: str = "32,64,128,256"
+    conv_kernel: int = 9
+    conv_stride: int = 4
+
+
+@dataclass
+class TrainingConfig:
+    """``[training]`` — default.ini:23-29 and default_iterable.ini:24-28."""
+
+    epochs: int = 500
+    save_best_model_after: int = 80
+    learning_rate: float = 1e-4
+    batch_size: int = 131072
+    checkpoint_interval: int = 90
+    loss_reduction: str = "mean"        # dead in reference; honored here
+    # Streaming trainer (train_iterable.py:70-74): bounds the run by frames.
+    total_num_frames: int = 0
+    # Resume from the latest checkpoint in the workspace (reference wrote
+    # checkpoints but never loaded them — SURVEY.md §5.3; new capability).
+    resume: bool = False
+    best_epoch: str = ""                # written back (train.py:246)
+
+
+@dataclass
+class NotesConfig:
+    """``[notes]`` — default.ini:31-32."""
+
+    additional_notes: str = ""
+
+
+@dataclass
+class ExtraConfig:
+    """``[extra]`` — default.ini:34-43."""
+
+    normalize_examples: bool = False    # dead in reference; accepted
+    example_length: int = 10            # dead in reference; accepted
+    plot_model: bool = True             # dead in reference; accepted
+    description: str = "tpu_run"
+    start: str = ""
+    end: str = ""
+    time_elapsed: str = ""
+
+
+@dataclass
+class TPUConfig:
+    """``[tpu]`` — new section; absent from reference configs (all defaults)."""
+
+    # Matmul/computation precision: "float32" | "bfloat16" | "highest".
+    precision: str = "highest"
+    # Kernel backend for the hot path: "xla" (always available) | "pallas".
+    backend: str = "xla"
+    # Microbatch size for gradient accumulation; 0 disables.  Lets the
+    # reference's default batch_size=131072 (default.ini:27, reduced to 4096
+    # "due to memory issues" in kelsey_iterable.ini:36) run on one chip.
+    microbatch_size: int = 0
+    # Mesh: number of data-parallel and model-parallel shards. 0 = all devices
+    # on the data axis.
+    data_parallel: int = 0
+    model_parallel: int = 1
+    # Host-side prefetch depth for the device feed queue.
+    prefetch: int = 2
+    # Log parameter histograms every N steps (reference logged every batch in
+    # the iterable trainer, train_iterable.py:216-217 — quirk #10).
+    histogram_interval: int = 0         # 0 = per-epoch / per-checkpoint only
+    # PRNG seed for init + reparameterization.
+    seed: int = 0
+    # Deterministic inference (z = mu, no sampling) — quirk #13 extension.
+    deterministic_inference: bool = False
+    # Checkpoint format: "orbax" | "msgpack".
+    checkpoint_format: str = "msgpack"
+
+
+@dataclass
+class Config:
+    """Full framework configuration (all INI sections)."""
+
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    vae: VAEConfig = field(default_factory=VAEConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    notes: NotesConfig = field(default_factory=NotesConfig)
+    extra: ExtraConfig = field(default_factory=ExtraConfig)
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+    # Unknown keys from user INIs, preserved for round-tripping:
+    # {(section, key): raw string}
+    unknown: dict = field(default_factory=dict)
+
+    def validate(self) -> None:
+        self.audio.validate()
+        if self.training.batch_size <= 0:
+            raise ValueError("batch_size must be positive")
+        if self.tpu.precision not in ("float32", "bfloat16", "highest"):
+            raise ValueError(f"unknown precision {self.tpu.precision!r}")
+        if self.tpu.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.tpu.backend!r}")
+        if self.vae.arch not in ("dense", "deep", "conv1d"):
+            raise ValueError(f"unknown arch {self.vae.arch!r}")
+        if self.dataset.mono not in ("mean", "first"):
+            raise ValueError(f"unknown mono mode {self.dataset.mono!r}")
+        if self.training.loss_reduction.split()[0] not in ("mean", "sum"):
+            raise ValueError(
+                f"unknown loss_reduction {self.training.loss_reduction!r}"
+            )
+
+    # -- convenience accessors ------------------------------------------------
+    @property
+    def segment_length(self) -> int:
+        return self.audio.segment_length
+
+    @property
+    def hop_length(self) -> int:
+        return self.audio.hop_length
+
+    @property
+    def sampling_rate(self) -> int:
+        return self.audio.sampling_rate
+
+    def stamp_start(self, t: Optional[float] = None) -> None:
+        """Record run start time (train.py:85-86 semantics)."""
+        t = time.time() if t is None else t
+        self.extra.start = time.asctime(time.localtime(t))
+        self._start_time = t
+
+    def stamp_end(self, t: Optional[float] = None) -> None:
+        """Record run end + elapsed (keys existed in default.ini:41-42 but were
+        never written by the reference — SURVEY.md §5.1; we write them)."""
+        t = time.time() if t is None else t
+        self.extra.end = time.asctime(time.localtime(t))
+        start = getattr(self, "_start_time", None)
+        if start is not None:
+            self.extra.time_elapsed = f"{t - start:.3f}s"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,122 @@
+"""WAV codec + resampler tests (the framework's replacement for
+librosa/torchaudio/soundfile, which the reference relied on)."""
+
+import numpy as np
+import pytest
+
+from rawaudiovae_kelsey_tpu.io import (
+    WavFormatError,
+    load,
+    read_wav,
+    resample,
+    to_mono,
+    write_wav,
+)
+
+
+def test_float32_roundtrip(tmp_path):
+    wave = np.sin(np.linspace(0, 20 * np.pi, 4410)).astype(np.float32) * 0.7
+    p = tmp_path / "a.wav"
+    write_wav(p, wave, 44100)
+    out, sr = read_wav(p)
+    assert sr == 44100
+    np.testing.assert_array_equal(out[:, 0], wave)
+
+
+def test_pcm16_roundtrip(tmp_path):
+    wave = np.sin(np.linspace(0, 6 * np.pi, 1000)).astype(np.float32) * 0.5
+    p = tmp_path / "a.wav"
+    write_wav(p, wave, 22050, subtype="pcm16")
+    out, sr = read_wav(p)
+    assert sr == 22050
+    np.testing.assert_allclose(out[:, 0], wave, atol=1.0 / 32768)
+
+
+def test_stereo_roundtrip_and_mono(tmp_path):
+    left = np.linspace(-0.5, 0.5, 256).astype(np.float32)
+    right = np.linspace(0.5, -0.5, 256).astype(np.float32)
+    stereo = np.stack([left, right], axis=1)
+    p = tmp_path / "s.wav"
+    write_wav(p, stereo, 48000)
+    out, sr = read_wav(p)
+    assert out.shape == (256, 2)
+    np.testing.assert_array_equal(out, stereo)
+    # mono modes: mean (librosa path) vs first channel (streaming path)
+    np.testing.assert_allclose(to_mono(out, "mean"), (left + right) / 2, atol=1e-7)
+    np.testing.assert_array_equal(to_mono(out, "first"), left)
+
+
+def test_pcm24_decode(tmp_path):
+    # hand-build a 24-bit PCM file via scipy-free struct packing
+    import struct
+
+    vals = np.array([0, 8388607, -8388608, 4194304], dtype=np.int64)
+    payload = b"".join(
+        struct.pack("<i", int(v) << 8)[1:4] for v in vals
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 3, 3, 24)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    riff = b"WAVE" + chunks
+    p = tmp_path / "p24.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    out, sr = read_wav(p)
+    np.testing.assert_allclose(
+        out[:, 0], vals.astype(np.float64) / 8388608.0, atol=1e-7
+    )
+
+
+def test_extra_chunks_skipped(tmp_path):
+    import struct
+
+    wave = np.ones(64, dtype=np.float32) * 0.25
+    p = tmp_path / "a.wav"
+    write_wav(p, wave, 44100)
+    # splice a LIST chunk before fmt
+    data = p.read_bytes()
+    listchunk = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    new = data[:12] + listchunk + data[12:]
+    new = new[:4] + struct.pack("<I", len(new) - 8) + new[8:]
+    p.write_bytes(new)
+    out, sr = read_wav(p)
+    np.testing.assert_array_equal(out[:, 0], wave)
+
+
+def test_bad_file_raises(tmp_path):
+    p = tmp_path / "bad.wav"
+    p.write_bytes(b"not a wav file at all")
+    with pytest.raises(WavFormatError):
+        read_wav(p)
+
+
+def test_resample_preserves_tone(tmp_path):
+    sr1, sr2 = 48000, 44100
+    t = np.arange(sr1) / sr1
+    wave = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = resample(wave, sr1, sr2)
+    assert abs(len(out) - sr2) <= 2
+    # the dominant frequency should still be 440 Hz
+    spec = np.abs(np.fft.rfft(out[: sr2 // 2 * 2]))
+    freq = np.fft.rfftfreq(sr2 // 2 * 2, 1 / sr2)
+    assert abs(freq[np.argmax(spec)] - 440.0) < 2.0
+
+
+def test_resample_identity():
+    wave = np.random.default_rng(0).standard_normal(1000).astype(np.float32)
+    np.testing.assert_array_equal(resample(wave, 44100, 44100), wave)
+
+
+def test_load_contract(tmp_path):
+    """load() mirrors librosa.load(f, sr=...): mono float32 at requested sr."""
+    stereo = np.stack(
+        [np.ones(4800, np.float32) * 0.3, np.ones(4800, np.float32) * 0.1], axis=1
+    )
+    p = tmp_path / "s.wav"
+    write_wav(p, stereo, 48000)
+    wave, sr = load(p, sr=44100)
+    assert sr == 44100
+    assert wave.ndim == 1
+    assert wave.dtype == np.float32
+    assert abs(len(wave) - 4410) <= 2
+    # mean-mixdown: interior ≈ 0.2
+    assert abs(float(np.median(wave)) - 0.2) < 1e-3
