@@ -1,0 +1,101 @@
+"""Model registry: one uniform functional interface over all VAE families.
+
+The reference had exactly one model class (rawvae/model.py:5) instantiated
+inline by each driver (train.py:158-161); here every variant — dense (the
+reference architecture), deep/wide MLP, conv1d — is described by a
+:class:`ModelDef` of pure functions, so the train step, checkpointing,
+inference API and Pallas kernel dispatch are variant-agnostic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rawaudiovae_kelsey_tpu.config.schema import Config
+from rawaudiovae_kelsey_tpu.models import vae, variants
+
+
+@dataclass(frozen=True)
+class ModelDef:
+    """A VAE family: init + encode/decode pure functions and static shape
+    metadata.  ``encode``/``decode`` close over all static hyperparameters so
+    they are directly jittable."""
+
+    name: str
+    segment_length: int
+    latent_dim: int
+    init: Callable[[jax.Array], vae.Params]
+    encode: Callable[[vae.Params, jax.Array], Tuple[jax.Array, jax.Array]]
+    decode: Callable[[vae.Params, jax.Array], jax.Array]
+
+    def reparameterize(self, key, mu, logvar, deterministic: bool = False):
+        return vae.reparameterize(key, mu, logvar, deterministic)
+
+    def forward(self, params, key, x, deterministic: bool = False):
+        """(recon, mu, logvar) — the model.py:32-35 contract, including the
+        reshape of arbitrary leading dims to (-1, segment_length)."""
+        x = x.reshape(-1, self.segment_length)
+        mu, logvar = self.encode(params, x)
+        z = vae.reparameterize(key, mu, logvar, deterministic)
+        return self.decode(params, z), mu, logvar
+
+
+def _parse_int_list(s: str, default):
+    s = s.strip()
+    if not s:
+        return list(default)
+    return [int(t) for t in s.replace(" ", "").split(",") if t]
+
+
+def build_model(cfg: Config) -> ModelDef:
+    """Construct the ModelDef selected by ``cfg.vae.arch``."""
+    seg = cfg.audio.segment_length
+    latent = cfg.vae.latent_dim
+    arch = cfg.vae.arch
+
+    if arch == "dense":
+        n_units = cfg.vae.n_units
+        return ModelDef(
+            name="dense",
+            segment_length=seg,
+            latent_dim=latent,
+            init=partial(vae.init_dense, segment_length=seg,
+                         n_units=n_units, latent_dim=latent),
+            encode=vae.encode,
+            decode=vae.decode,
+        )
+
+    if arch == "deep":
+        hidden = _parse_int_list(cfg.vae.hidden_dims, (4096, 2048, 1024, 512))
+        return ModelDef(
+            name="deep",
+            segment_length=seg,
+            latent_dim=latent,
+            init=partial(variants.init_deep, segment_length=seg,
+                         hidden_dims=tuple(hidden), latent_dim=latent),
+            encode=variants.encode_deep,
+            decode=variants.decode_deep,
+        )
+
+    if arch == "conv1d":
+        channels = _parse_int_list(cfg.vae.conv_channels, (32, 64, 128, 256))
+        kernel, stride = cfg.vae.conv_kernel, cfg.vae.conv_stride
+        width = variants.conv_latent_width(seg, len(channels), stride)
+        return ModelDef(
+            name="conv1d",
+            segment_length=seg,
+            latent_dim=latent,
+            init=partial(variants.init_conv1d, segment_length=seg,
+                         channels=tuple(channels), kernel=kernel,
+                         stride=stride, latent_dim=latent),
+            encode=partial(variants.encode_conv1d, stride=stride),
+            decode=partial(variants.decode_conv1d, stride=stride,
+                           width=width, channels=channels[-1]),
+        )
+
+    raise ValueError(f"unknown arch {arch!r}")

@@ -7,15 +7,23 @@ benchmarks live outside tests/.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The host environment pre-sets JAX_PLATFORMS=axon (TPU) and the axon PJRT
+# plugin overrides the env var, so force CPU via the config API (must happen
+# before any backend initialization).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 
 @pytest.fixture
