@@ -1,0 +1,183 @@
+"""Dataset objects: the three reference loader contracts, batch-first.
+
+The reference fed per-item torch Datasets through DataLoader (train.py:133-134,
+train_iterable.py:143-151); on TPU the unit of work is the device batch, so
+these classes index and iterate whole ``(batch, segment)`` float32 arrays that
+go straight into ``device_put``.  Item-level indexing is kept for contract
+tests against the reference's ``__getitem__`` math.
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from rawaudiovae_kelsey_tpu.data import framing
+from rawaudiovae_kelsey_tpu.io import load
+
+
+class AudioFrameDataset:
+    """Map-style overlapping-window dataset over a concatenated corpus —
+    the AudioDataset contract (dataset.py:86-121)."""
+
+    def __init__(self, audio: np.ndarray, segment_length: int, hop_size: int,
+                 sampling_rate: int = 44100):
+        if segment_length % hop_size != 0:
+            raise ValueError(
+                f"segment_length {segment_length} is not a multiple of "
+                f"hop_size {hop_size}"
+            )
+        self.segment_length = segment_length
+        self.hop_size = hop_size
+        self.sampling_rate = sampling_rate
+        self.audio = framing.pad_to_multiple(
+            np.asarray(audio, dtype=np.float32), hop_size
+        )
+        self.frames = framing.overlapping_frames(
+            self.audio, segment_length, hop_size
+        )
+
+    def __len__(self) -> int:
+        # dataset.py:121 — clamped at 0: the reference formula goes negative
+        # for a corpus shorter than one segment (where DataLoader would have
+        # crashed on the same __len__).
+        return max(
+            0,
+            len(self.audio) // self.hop_size
+            - self.segment_length // self.hop_size + 1,
+        )
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        # dataset.py:107-112
+        start = index * self.hop_size
+        return self.audio[start:start + self.segment_length]
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                seed: Optional[int] = None, drop_last: bool = False
+                ) -> Iterator[np.ndarray]:
+        """One epoch of ``(B, segment)`` batches.  ``shuffle=True`` permutes
+        frame order like DataLoader(shuffle=True) (train.py:134); the final
+        short batch is kept by default (DataLoader drop_last=False)."""
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for i in range(0, n, batch_size):
+            idx = order[i:i + batch_size]
+            if drop_last and len(idx) < batch_size:
+                return
+            yield np.ascontiguousarray(self.frames[idx])
+
+    def num_batches(self, batch_size: int, drop_last: bool = False) -> int:
+        n = len(self)
+        return n // batch_size if drop_last else -(-n // batch_size)
+
+
+class TestFrameDataset:
+    """Non-overlapping eval dataset — the TestDataset contract
+    (dataset.py:129-160)."""
+
+    __test__ = False  # keep pytest from collecting this as a test class
+
+    def __init__(self, audio: np.ndarray, segment_length: int,
+                 sampling_rate: int = 44100):
+        self.segment_length = segment_length
+        self.sampling_rate = sampling_rate
+        self.audio = framing.pad_to_multiple(
+            np.asarray(audio, dtype=np.float32), segment_length
+        )
+        self.frames = framing.nonoverlapping_frames(self.audio, segment_length)
+
+    def __len__(self) -> int:
+        return len(self.audio) // self.segment_length  # dataset.py:160
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        start = index * self.segment_length
+        return self.audio[start:start + self.segment_length]
+
+    def batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        for i in range(0, len(self.frames), batch_size):
+            yield self.frames[i:i + batch_size]
+
+
+class StreamingFrameDataset:
+    """Streaming wav-folder dataset — the IterableAudioDataset contract
+    (dataset.py:11-84): shuffle the *file list* each pass, cycle it forever,
+    decode/resample/first-channel/pad each file, emit overlapping windows.
+
+    Differences from the reference (intentional):
+      * honors the configured ``segment_length`` (the reference hard-coded
+        1024 at dataset.py:66 — quirk #2, fixed);
+      * emits windows as vectorized per-file arrays, batched across file
+        boundaries (same element order as chain.from_iterable);
+      * a seeded ``random.Random`` replaces the ambient ``random.sample``
+        (dataset.py:42) so runs are reproducible.
+    """
+
+    def __init__(self, audio_folder: Path, sampling_rate: int, hop_size: int,
+                 segment_length: int, shuffle: bool = True,
+                 mono: str = "first", seed: Optional[int] = None,
+                 host_id: int = 0, num_hosts: int = 1):
+        self.audio_folder = Path(audio_folder)
+        self.sampling_rate = sampling_rate
+        self.hop_size = hop_size
+        self.segment_length = segment_length
+        self.shuffle = shuffle
+        self.mono = mono
+        self._rng = random.Random(seed)
+        files = sorted(self.audio_folder.glob("*.wav"))
+        self.audio_file_list: List[Path] = [
+            f for i, f in enumerate(files) if i % num_hosts == host_id
+        ]
+        self.num_files = len(self.audio_file_list)
+        self._cache: dict = {}
+        self.cache_decoded = True
+
+    def _shuffled(self) -> List[Path]:
+        # random.sample(list, len(list)) semantics of dataset.py:42
+        return self._rng.sample(self.audio_file_list, len(self.audio_file_list))
+
+    def _file_frames(self, path: Path) -> np.ndarray:
+        cached = self._cache.get(path)
+        if cached is not None:
+            return cached
+        wave, _ = load(path, sr=self.sampling_rate, mono=self.mono)
+        frames = framing.streaming_file_frames(
+            wave, self.segment_length, self.hop_size
+        )
+        if self.cache_decoded:
+            self._cache[path] = frames
+        return frames
+
+    def frames_iter(self) -> Iterator[np.ndarray]:
+        """Infinite stream of per-file frame arrays (cycle + per-pass
+        shuffle, dataset.py:77-84)."""
+        if self.num_files == 0:
+            raise FileNotFoundError(
+                f"no wav files in {self.audio_folder}"
+            )
+        while True:
+            file_list = self._shuffled() if self.shuffle else self.audio_file_list
+            for f in file_list:
+                frames = self._file_frames(f)
+                if len(frames):
+                    yield frames
+
+    def batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        """Infinite stream of exact ``(batch_size, segment)`` batches,
+        crossing file boundaries like the reference DataLoader did.  Bound it
+        with itertools.islice (train_iterable.py:195)."""
+        buf: List[np.ndarray] = []
+        have = 0
+        for frames in self.frames_iter():
+            buf.append(frames)
+            have += len(frames)
+            while have >= batch_size:
+                chunk = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
+                yield np.ascontiguousarray(chunk[:batch_size])
+                rest = chunk[batch_size:]
+                buf = [rest] if len(rest) else []
+                have = len(rest)

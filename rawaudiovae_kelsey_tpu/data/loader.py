@@ -1,0 +1,86 @@
+"""Host→device feed: background prefetch with double buffering.
+
+The reference moved one batch at a time synchronously (``data.to(device)``,
+train.py:182-183; per-segment ``.to(cuda)`` inside the dataset worker,
+dataset.py:72-73 — with DataLoader num_workers=0 there was zero overlap).
+Here a daemon thread stages upcoming host batches through ``jax.device_put``
+into a bounded queue so transfers ride under the previous step's compute —
+the standard TPU input pipeline shape.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+
+class DevicePrefetcher:
+    """Wrap a host batch iterator; yields device-resident arrays.
+
+    ``sharding`` (a ``jax.sharding.Sharding``) places each batch directly in
+    its pjit layout so no resharding happens inside the step.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, host_iter: Iterator, depth: int = 2, sharding=None):
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._err: Optional[BaseException] = None
+        self._sharding = sharding
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._worker, args=(host_iter,), daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self, host_iter):
+        try:
+            for batch in host_iter:
+                if self._stop.is_set():
+                    return
+                if self._sharding is not None:
+                    batch = jax.device_put(batch, self._sharding)
+                else:
+                    batch = jax.device_put(batch)
+                # block until the consumer drains — bounds host memory
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            try:
+                self._q.put(self._SENTINEL, timeout=5)
+            except queue.Full:
+                pass
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so the worker can exit
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def prefetch_to_device(host_iter: Iterator, depth: int = 2, sharding=None
+                       ) -> DevicePrefetcher:
+    return DevicePrefetcher(host_iter, depth=depth, sharding=sharding)
