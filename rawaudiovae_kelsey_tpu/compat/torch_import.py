@@ -67,4 +67,7 @@ def load_torch_checkpoint(path: Union[str, Path]) -> Params:
 def _to_numpy(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+    # Always materialize a copy: jnp.asarray zero-copies aligned numpy arrays
+    # on CPU, so returning a view of a live torch tensor would let later
+    # in-place torch mutations (e.g. optimizer steps) corrupt the JAX params.
+    return np.array(t, dtype=np.float32, copy=True)

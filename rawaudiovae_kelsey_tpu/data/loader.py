@@ -84,3 +84,25 @@ class DevicePrefetcher:
 def prefetch_to_device(host_iter: Iterator, depth: int = 2, sharding=None
                        ) -> DevicePrefetcher:
     return DevicePrefetcher(host_iter, depth=depth, sharding=sharding)
+
+
+def pad_batches_for_mesh(host_iter: Iterator, n_devices: int) -> Iterator:
+    """Make every batch's leading dim divisible by ``n_devices`` by wrapping
+    (repeating rows from the batch start).
+
+    Needed because a batch sharded over the mesh ``data`` axis must divide
+    evenly.  Only the epoch trainer's final short batch (DataLoader
+    drop_last=False semantics, train.py:134) is ever affected; the repeated
+    rows slightly overweight those frames in that one mean-reduced loss —
+    documented divergence, negligible at real batch sizes.
+    """
+    import numpy as np
+
+    for batch in host_iter:
+        rem = batch.shape[0] % n_devices
+        if rem:
+            extra = n_devices - rem
+            reps = -(-extra // max(batch.shape[0], 1))
+            fill = np.concatenate([batch] * reps, axis=0)[:extra]
+            batch = np.concatenate([batch, fill], axis=0)
+        yield batch

@@ -1,0 +1,17 @@
+from rawaudiovae_kelsey_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from rawaudiovae_kelsey_tpu.parallel.sharding import (  # noqa: F401
+    named_shardings,
+    param_specs,
+    shard_params,
+)
+from rawaudiovae_kelsey_tpu.parallel.step import (  # noqa: F401
+    build_eval_step,
+    build_train_step,
+    make_loss_fn,
+)

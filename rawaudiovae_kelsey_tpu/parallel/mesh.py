@@ -1,0 +1,58 @@
+"""Device meshes.
+
+The reference was strictly single-process single-device (train.py:88-90; no
+torch.distributed anywhere — SURVEY.md §2).  The TPU-native scaling story is a
+2-D ``jax.sharding.Mesh`` with axes:
+
+  * ``data``  — batch (frame) dimension; gradient all-reduce rides ICI via the
+    ``psum`` XLA inserts under pjit.
+  * ``model`` — the hidden ``n_units`` dimension of the dense VAE (Megatron
+    column/row split), only needed for the wide variants.
+
+Multi-host (DCN) uses the standard JAX runtime: ``jax.distributed.initialize``
+gives each host its slice of ``jax.devices()``, and per-host ingest shards the
+wav file list (data/corpus.py:shard_files).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data_parallel: int = 0, model_parallel: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ``(data, model)`` mesh.  ``data_parallel=0`` means "all devices
+    divided by model_parallel"."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if model_parallel <= 0:
+        model_parallel = 1
+    if data_parallel <= 0:
+        data_parallel = n // model_parallel
+    if data_parallel * model_parallel != n:
+        raise ValueError(
+            f"mesh {data_parallel}x{model_parallel} != {n} devices"
+        )
+    # Auto axis types: we annotate inputs/constraints and let GSPMD propagate
+    # (jax 0.9 defaults to Explicit mode, which forbids
+    # with_sharding_constraint).
+    return jax.make_mesh(
+        (data_parallel, model_parallel), (DATA_AXIS, MODEL_AXIS),
+        devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto, jax.sharding.AxisType.Auto),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Frames are embarrassingly parallel: shard batch over ``data``."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,181 @@
+"""The jitted train step — the framework's hot path.
+
+Replaces the reference's Python-side zero_grad → forward → loss → backward →
+step sequence (train.py:184-193) with ONE compiled, donated-buffer update:
+
+  * forward + reparameterization + loss + backward + Adam fused by XLA
+    (optionally with Pallas kernels from ``ops/`` on the forward/backward
+    GEMM chains);
+  * explicit threefry RNG: the per-step key is ``fold_in(state.rng, step)``,
+    so runs are bit-reproducible and resume-stable regardless of host order;
+  * microbatch gradient accumulation via ``lax.scan`` so the reference's
+    default ``batch_size = 131072`` (default.ini:27 — which OOM'd their GPU,
+    kelsey_iterable.ini:36) fits in HBM;
+  * data parallelism by sharding the batch over the mesh ``data`` axis — the
+    gradient all-reduce is the ``psum`` GSPMD inserts, riding ICI;
+  * precision policy: "highest" (fp32 MXU passes, for parity), "float32"
+    (fp32 data, default MXU precision), "bfloat16" (bf16 compute, fp32
+    master params and fp32 loss/optimizer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rawaudiovae_kelsey_tpu.config.schema import Config
+from rawaudiovae_kelsey_tpu.models.registry import ModelDef
+from rawaudiovae_kelsey_tpu.models.vae import loss_components
+from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
+from rawaudiovae_kelsey_tpu.train.state import TrainState
+
+Metrics = dict
+
+
+def _matmul_precision(name: str) -> str:
+    return {"highest": "highest", "float32": "default",
+            "bfloat16": "default"}[name]
+
+
+def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
+    """(params, key, batch) → (loss, (mse, kld)); all reductions fp32."""
+    seg = model.segment_length
+    kl_beta = cfg.vae.kl_beta
+    reduction = cfg.training.loss_reduction.split()[0]
+    bf16 = cfg.tpu.precision == "bfloat16"
+
+    def loss_fn(params, key, batch):
+        x = batch.reshape(-1, seg)
+        if bf16:
+            cparams = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), params
+            )
+            xin = x.astype(jnp.bfloat16)
+        else:
+            cparams, xin = params, x
+        mu, logvar = model.encode(cparams, xin)
+        mu = mu.astype(jnp.float32)
+        logvar = logvar.astype(jnp.float32)
+        z = model.reparameterize(key, mu, logvar)
+        if bf16:
+            z = z.astype(jnp.bfloat16)
+        recon = model.decode(cparams, z).astype(jnp.float32)
+        loss, mse, kld = loss_components(
+            recon, x, mu, logvar, kl_beta, seg, reduction
+        )
+        return loss, (mse, kld)
+
+    return loss_fn
+
+
+def build_train_step(
+    model: ModelDef,
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Metrics]]:
+    """Compile the full update.  The returned function maps
+    ``(state, batch) → (state', metrics)`` with the state buffers donated."""
+    loss_fn = make_loss_fn(model, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    micro = cfg.tpu.microbatch_size
+    seg = model.segment_length
+    prec = _matmul_precision(cfg.tpu.precision)
+
+    def step_fn(state: TrainState, batch: jax.Array):
+        with jax.default_matmul_precision(prec):
+            batch = batch.reshape(-1, seg)
+            if mesh is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(mesh, P(DATA_AXIS))
+                )
+            base_key = jax.random.fold_in(state.rng, state.step)
+
+            if micro and micro < batch.shape[0]:
+                n_micro, rem = divmod(batch.shape[0], micro)
+                if rem:
+                    raise ValueError(
+                        f"batch {batch.shape[0]} not divisible by "
+                        f"microbatch_size {micro}"
+                    )
+                mbs = batch.reshape(n_micro, micro, seg)
+
+                def scan_body(acc, inp):
+                    i, mb = inp
+                    (loss, (mse, kld)), grads = grad_fn(
+                        state.params, jax.random.fold_in(base_key, i), mb
+                    )
+                    grads = jax.tree_util.tree_map(
+                        lambda g: g.astype(jnp.float32), grads
+                    )
+                    g_acc, l_acc, m_acc, k_acc = acc
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                    return (g_acc, l_acc + loss, m_acc + mse, k_acc + kld), None
+
+                zeros = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                )
+                (gsum, lsum, msum, ksum), _ = jax.lax.scan(
+                    scan_body,
+                    (zeros, 0.0, 0.0, 0.0),
+                    (jnp.arange(n_micro), mbs),
+                )
+                inv = 1.0 / n_micro
+                grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+                loss, mse, kld = lsum * inv, msum * inv, ksum * inv
+            else:
+                (loss, (mse, kld)), grads = grad_fn(
+                    state.params, base_key, batch
+                )
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32), grads
+                )
+
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=new_params,
+                opt_state=new_opt_state,
+                rng=state.rng,
+                step=state.step + 1,
+            )
+            metrics = {"loss": loss, "mse": mse, "kld": kld}
+            return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(model: ModelDef, cfg: Config,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Compiled reconstruction: ``(params, key, batch) → recon``.
+
+    Stochastic by default — the reference sampled the latent even during eval
+    reconstruction (``model(test_sample)[0]`` runs reparameterize,
+    train.py:224; quirk #13).  ``cfg.tpu.deterministic_inference`` switches to
+    z = mu.
+    """
+    seg = model.segment_length
+    deterministic = cfg.tpu.deterministic_inference
+    prec = _matmul_precision(cfg.tpu.precision)
+
+    @jax.jit
+    def eval_fn(params, key, batch):
+        with jax.default_matmul_precision(prec):
+            x = batch.reshape(-1, seg)
+            if mesh is not None:
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(DATA_AXIS))
+                )
+            mu, logvar = model.encode(params, x)
+            z = model.reparameterize(key, mu, logvar, deterministic)
+            return model.decode(params, z)
+
+    return eval_fn

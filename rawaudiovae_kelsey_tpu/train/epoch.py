@@ -1,0 +1,129 @@
+"""Epoch trainer — the ``python train.py --config default.ini`` flow
+(train.py:113-307), rebuilt around the single jitted step.
+
+Differences from the reference (each intentional, cited):
+  * metrics stay on device during the hot loop; per-batch ``Loss/Batch`` and
+    ``Learning Rate`` scalars are written from the buffered device values at
+    epoch end (same tags/steps, train.py:189,196 — but no ``.item()`` sync
+    per batch);
+  * the CPU-only crash (train.py:89), the ``device == cuda`` NameError
+    (train.py:220) and the positional ``torch.cat`` bug (train.py:229) have
+    no analogs here;
+  * the best-model gate tracks the true best loss (quirk #7 fix);
+  * checkpoint/resume actually restores (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.data.corpus import build_corpus
+from rawaudiovae_kelsey_tpu.data.datasets import AudioFrameDataset
+from rawaudiovae_kelsey_tpu.data.loader import prefetch_to_device
+from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
+from rawaudiovae_kelsey_tpu.train import loop as L
+
+
+def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
+    # dataset path validation (train.py:52-63)
+    datapath = cfg.dataset.datapath_path
+    if not datapath.exists():
+        raise FileNotFoundError(datapath.resolve())
+
+    ctx = L.setup(cfg)
+    try:
+        return _run(ctx, cfg, verbose)
+    finally:
+        L.finish(ctx)
+
+
+def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
+    # eager ingest (train.py:113-130)
+    if verbose:
+        print("creating the dataset...")
+    corpus, n_samples = build_corpus(
+        datapath_audio_dir(cfg), cfg.audio.sampling_rate,
+        mono=cfg.dataset.mono, verbose=verbose,
+    )
+    total_frames = n_samples // cfg.audio.segment_length
+    print(f"Total number of audio frames: {total_frames}")
+    cfg.dataset.total_frames = str(total_frames)
+    ctx.workspace.snapshot_config(cfg)
+
+    dataset = AudioFrameDataset(
+        corpus, cfg.audio.segment_length, cfg.audio.hop_length,
+        cfg.audio.sampling_rate,
+    )
+    batch_size = cfg.training.batch_size
+    n_batches = dataset.num_batches(batch_size)
+    sharding = batch_sharding(ctx.mesh) if ctx.mesh is not None else None
+
+    epochs = cfg.training.epochs
+    interval = cfg.training.checkpoint_interval
+    lr = cfg.training.learning_rate
+    train_loss = float("inf")
+
+    for epoch in range(epochs):
+        if verbose:
+            print(f"Epoch {epoch}/{epochs - 1}")
+            print("-" * 10)
+
+        host_iter = dataset.batches(batch_size, shuffle=True,
+                                    seed=cfg.tpu.seed + epoch)
+        if ctx.mesh is not None:
+            from rawaudiovae_kelsey_tpu.data.loader import pad_batches_for_mesh
+
+            host_iter = pad_batches_for_mesh(host_iter, ctx.mesh.devices.size)
+        feed = prefetch_to_device(host_iter, depth=cfg.tpu.prefetch,
+                                  sharding=sharding)
+        batch_metrics = []
+        ctx.timer.start()
+        for batch in feed:
+            ctx.state, metrics = ctx.train_step(ctx.state, batch)
+            batch_metrics.append(metrics["loss"])  # device scalar, no sync
+        epoch_s = ctx.timer.stop()
+
+        losses = [float(jax.device_get(l)) for l in batch_metrics]
+        train_loss = float(np.sum(losses))
+        for i, l in enumerate(losses):
+            gstep = epoch * n_batches + i
+            ctx.writer.add_scalar("Loss/Batch", l, gstep)
+            ctx.writer.add_scalar("Learning Rate", lr, gstep)
+
+        avg = train_loss / max(len(dataset), 1)
+        print(
+            f"====> Epoch: {epoch} - Total loss: {train_loss} - "
+            f"Average loss: {avg:.9f} "
+            f"({len(losses) * batch_size / max(epoch_s, 1e-9):,.0f} frames/s)"
+        )
+        ctx.writer.add_scalar("Loss/train_total", train_loss, epoch)
+        ctx.writer.add_scalar("Loss/train_average", avg, epoch)
+        L.log_param_histograms(ctx, epoch)
+
+        if interval and epoch % interval == 0 and epoch != 0:
+            print(f"Checkpoint - Epoch {epoch}")
+            if cfg.dataset.generate_test:
+                L.reconstruct_test_set(ctx, epoch)
+            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
+            L.maybe_save_best(ctx, train_loss, epoch,
+                              cfg.training.save_best_model_after)
+
+    # post-loop finalization (train.py:254-307)
+    final_epoch = max(epochs - 1, 0)
+    print(f"Last Checkpoint - Epoch {final_epoch}")
+    if cfg.dataset.generate_test:
+        L.reconstruct_test_set(ctx, epochs)
+    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)
+    if np.isfinite(train_loss):
+        L.maybe_save_best(ctx, train_loss, epochs,
+                          cfg.training.save_best_model_after)
+    L.save_last(ctx)
+    return ctx
+
+
+def datapath_audio_dir(cfg: Config) -> Path:
+    return cfg.dataset.datapath_path / "audio"

@@ -1,0 +1,236 @@
+"""Shared driver machinery for the epoch and streaming trainers.
+
+Everything both reference drivers duplicated (device pick, workspace, writer,
+test fixture, model/optimizer construction, periodic reconstruction, best/last
+model bookkeeping — train.py vs train_iterable.py) lives here once; the two
+drivers are thin loops over this.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rawaudiovae_kelsey_tpu.config import Config, Workspace, create_workspace
+from rawaudiovae_kelsey_tpu.data.datasets import TestFrameDataset
+from rawaudiovae_kelsey_tpu.eval.fixtures import init_test_audio
+from rawaudiovae_kelsey_tpu.io import write_wav
+from rawaudiovae_kelsey_tpu.models.registry import ModelDef, build_model
+from rawaudiovae_kelsey_tpu.observe import EventWriter, StepTimer
+from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding, make_mesh
+from rawaudiovae_kelsey_tpu.parallel.sharding import (
+    named_shardings,
+    param_specs,
+)
+from rawaudiovae_kelsey_tpu.parallel.step import (
+    build_eval_step,
+    build_train_step,
+)
+from rawaudiovae_kelsey_tpu.train import checkpoint as ckpt
+from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
+from rawaudiovae_kelsey_tpu.train.state import TrainState
+
+
+@dataclass
+class TrainContext:
+    cfg: Config
+    workspace: Workspace
+    model: ModelDef
+    state: TrainState
+    train_step: Callable
+    eval_step: Callable
+    writer: EventWriter
+    mesh: Any
+    timer: StepTimer
+    test_dataset: Optional[TestFrameDataset] = None
+    audio_log_dir: Optional[Path] = None
+    best_loss: float = float("inf")
+    start_step: int = 0
+    start_meta: dict = field(default_factory=dict)
+
+    def close(self) -> None:
+        self.writer.close()
+
+
+def describe_device() -> str:
+    """Device banner — the reference crashed here on CPU-only hosts
+    (train.py:89 called torch.cuda.get_device_name unconditionally, quirk #3)."""
+    d = jax.devices()[0]
+    return f"{d.platform}:{d.device_kind} x{jax.device_count()}"
+
+
+def setup(cfg: Config, use_mesh: bool = True,
+          resume: Optional[bool] = None) -> TrainContext:
+    """Build everything up to (but excluding) the batch loop, mirroring the
+    preamble of both reference drivers (train.py:88-163)."""
+    cfg.validate()
+    cfg.stamp_start()
+    device_name = describe_device()
+    print(f"Device: {device_name}")
+    cfg.vae.device_name = device_name
+
+    ws = create_workspace(cfg)
+    print(f"Workspace: {ws.workdir}")
+
+    mesh = None
+    if use_mesh and jax.device_count() > 1:
+        mesh = make_mesh(cfg.tpu.data_parallel, cfg.tpu.model_parallel)
+
+    model = build_model(cfg)
+    optimizer = build_optimizer(cfg)
+    params = model.init(jax.random.PRNGKey(cfg.tpu.seed))
+    if mesh is not None:
+        # place params in their mesh layout first; Adam moments then inherit
+        # the same shardings because optimizer.init builds them elementwise
+        # from the (already sharded) params
+        specs = param_specs(model.name, params, cfg.tpu.model_parallel)
+        params = jax.device_put(params, named_shardings(mesh, specs))
+    opt_state = optimizer.init(params)
+    state = TrainState.create(params, opt_state, seed=cfg.tpu.seed)
+
+    train_step = build_train_step(model, cfg, optimizer, mesh=mesh)
+    eval_step = build_eval_step(model, cfg, mesh=mesh)
+    writer = EventWriter(ws.log_dir)
+
+    ctx = TrainContext(
+        cfg=cfg, workspace=ws, model=model, state=state,
+        train_step=train_step, eval_step=eval_step, writer=writer,
+        mesh=mesh, timer=StepTimer(),
+    )
+
+    # resume (new capability; the reference never reloaded checkpoints)
+    want_resume = cfg.training.resume if resume is None else resume
+    if want_resume:
+        latest = _find_resume_checkpoint(cfg, exclude=ws.workdir)
+        if latest is not None:
+            ctx.state, meta = ckpt.restore_checkpoint(latest, ctx.state)
+            ctx.start_step = int(jax.device_get(ctx.state.step))
+            ctx.best_loss = float(meta.get("best_loss", float("inf")))
+            ctx.start_meta = meta
+            print(f"Resumed from {latest} at step {ctx.start_step}")
+
+    # held-out reconstruction fixture (train.py:153-155)
+    if cfg.dataset.generate_test:
+        test_dir = cfg.dataset.datapath_path / cfg.dataset.test_dataset
+        if not test_dir.exists():
+            raise FileNotFoundError(test_dir.resolve())
+        ctx.test_dataset, ctx.audio_log_dir = init_test_audio(
+            ws.workdir, cfg.dataset.test_dataset, test_dir,
+            cfg.audio.sampling_rate, cfg.audio.segment_length,
+            mono=cfg.dataset.mono,
+        )
+
+    ws.snapshot_config(cfg)
+    return ctx
+
+
+def _find_resume_checkpoint(cfg: Config,
+                            exclude: Optional[Path] = None) -> Optional[Path]:
+    """Newest checkpoint across prior runs of this description, skipping the
+    just-created (empty) workspace."""
+    my_runs = cfg.dataset.datapath_path / cfg.extra.description
+    if not my_runs.is_dir():
+        return None
+    for run in sorted((p for p in my_runs.glob("run-*") if p.is_dir()),
+                      reverse=True):
+        if exclude is not None and run.resolve() == Path(exclude).resolve():
+            continue
+        found = ckpt.latest_checkpoint(Workspace(run).checkpoint_dir)
+        if found is not None:
+            return found
+    return None
+
+
+def batch_to_device(ctx: TrainContext, batch: np.ndarray) -> jax.Array:
+    if ctx.mesh is not None:
+        return jax.device_put(batch, batch_sharding(ctx.mesh))
+    return jax.device_put(batch)
+
+
+def reconstruct_test_set(ctx: TrainContext, step_label: int) -> np.ndarray:
+    """Periodic eval reconstruction (train.py:214-237): run the full test set
+    through the model, flatten to one waveform, write
+    ``test_reconst_{step:05d}.wav`` and log it as TB audio."""
+    assert ctx.test_dataset is not None and ctx.audio_log_dir is not None
+    params = ctx.state.params
+    key = jax.random.fold_in(ctx.state.rng, 0x7E57)  # eval stream, disjoint
+    n_dev = ctx.mesh.devices.size if ctx.mesh is not None else 1
+    outs = []
+    for i, batch in enumerate(
+        ctx.test_dataset.batches(ctx.cfg.training.batch_size)
+    ):
+        n = batch.shape[0]
+        if n % n_dev:  # pad to the mesh, truncate after
+            pad = n_dev - n % n_dev
+            batch = np.concatenate([batch, batch[:1].repeat(pad, 0)], axis=0)
+        recon = ctx.eval_step(params, jax.random.fold_in(key, i),
+                              jnp.asarray(batch))
+        outs.append(np.asarray(jax.device_get(recon))[:n])
+    wave = np.concatenate(outs, axis=0).reshape(-1)
+    out_path = ctx.audio_log_dir / f"test_reconst_{step_label:05d}.wav"
+    write_wav(out_path, wave, ctx.cfg.audio.sampling_rate)
+    print(f"Audio examples generated: {out_path}")
+    ctx.writer.add_audio("Reconstructed Audio", wave, step_label,
+                         sample_rate=ctx.cfg.audio.sampling_rate)
+    return wave
+
+
+def log_param_histograms(ctx: TrainContext, step: int) -> None:
+    """Per-parameter histograms with torch-style dotted names
+    (train.py:203-204).  For the dense model the tags match the reference
+    exactly (``fc1.weight`` …) via the compat layout."""
+    params = jax.device_get(ctx.state.params)
+    if ctx.model.name == "dense":
+        from rawaudiovae_kelsey_tpu.compat import params_to_state_dict
+
+        for name, arr in params_to_state_dict(params).items():
+            ctx.writer.add_histogram(name, arr, step)
+        return
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, leaf in flat:
+        name = ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        ctx.writer.add_histogram(name, np.asarray(leaf), step)
+
+
+def save_periodic_checkpoint(ctx: TrainContext, extra: dict,
+                             label: int | None = None) -> Path:
+    extra = dict(extra)
+    extra["best_loss"] = ctx.best_loss
+    return ckpt.save_checkpoint(
+        ctx.workspace.checkpoint_dir, ctx.state, extra, label=label
+    )
+
+
+def maybe_save_best(ctx: TrainContext, train_loss: float, step_label: int,
+                    after: int) -> bool:
+    """Best-model gate with a real best tracker (the reference's
+    ``train_loss_prev`` started at 1e6 and was never updated — quirk #7)."""
+    if step_label > after and train_loss < ctx.best_loss:
+        ctx.best_loss = train_loss
+        path = ctx.workspace.model_dir / "best_model.npz"
+        ckpt.save_params(path, ctx.state.params)
+        print(f"Step {step_label:05d}: Saved {path}")
+        ctx.cfg.training.best_epoch = str(step_label)
+        return True
+    elif train_loss > ctx.best_loss:
+        print("Loss did not improve.")
+    return False
+
+
+def save_last(ctx: TrainContext) -> Path:
+    path = ctx.workspace.model_dir / "last_model.npz"
+    ckpt.save_params(path, ctx.state.params)
+    print("Training Finished: Saved the last model")
+    return path
+
+
+def finish(ctx: TrainContext) -> None:
+    ctx.cfg.stamp_end()
+    ctx.workspace.snapshot_config(ctx.cfg)
+    ctx.close()

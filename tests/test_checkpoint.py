@@ -1,0 +1,132 @@
+"""Checkpoint round-trip, latest-discovery, params-only snapshots, and the
+torn-write guard."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.models import build_model
+from rawaudiovae_kelsey_tpu.parallel import build_train_step
+from rawaudiovae_kelsey_tpu.train import (
+    TrainState,
+    build_optimizer,
+    latest_checkpoint,
+    load_params,
+    restore_checkpoint,
+    save_checkpoint,
+    save_params,
+)
+
+
+@pytest.fixture
+def cfg():
+    c = Config()
+    c.audio.segment_length = 128
+    c.audio.hop_length = 32
+    c.vae.n_units = 64
+    c.vae.latent_dim = 16
+    c.training.learning_rate = 1e-3
+    return c
+
+
+def _mk(cfg, seed=0):
+    model = build_model(cfg)
+    opt = build_optimizer(cfg)
+    params = model.init(jax.random.PRNGKey(seed))
+    return model, opt, TrainState.create(params, opt.init(params), seed=seed)
+
+
+def test_roundtrip_bitexact(cfg, tmp_path):
+    model, opt, state = _mk(cfg)
+    step = build_train_step(model, cfg, opt)
+    batch = jnp.asarray(np.random.default_rng(0)
+                        .uniform(-1, 1, (16, 128)).astype(np.float32))
+    for _ in range(3):
+        state, _ = step(state, batch)
+    path = save_checkpoint(tmp_path, state, {"epoch": 3, "best_loss": 0.5})
+
+    _, _, template = _mk(cfg, seed=99)  # different values, same structure
+    restored, meta = restore_checkpoint(path, template)
+    assert meta["epoch"] == 3 and meta["best_loss"] == 0.5
+    assert int(jax.device_get(restored.step)) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state)),
+                    jax.tree_util.tree_leaves(jax.device_get(restored))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_identically(cfg, tmp_path):
+    """Train 6 steps straight vs train 3 + checkpoint + restore + 3: identical
+    final params (RNG is fold_in(step)-keyed, so resume is seamless)."""
+    model, opt, s_straight = _mk(cfg, seed=1)
+    step = build_train_step(model, cfg, opt, donate=False)
+    batch = jnp.asarray(np.random.default_rng(1)
+                        .uniform(-1, 1, (16, 128)).astype(np.float32))
+    for _ in range(6):
+        s_straight, _ = step(s_straight, batch)
+
+    _, _, s = _mk(cfg, seed=1)
+    for _ in range(3):
+        s, _ = step(s, batch)
+    p = save_checkpoint(tmp_path, s, {})
+    _, _, template = _mk(cfg, seed=1)
+    s2, _ = restore_checkpoint(p, template)
+    for _ in range(3):
+        s2, _ = step(s2, batch)
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(s_straight.params["fc1"]["w"])),
+        np.asarray(jax.device_get(s2.params["fc1"]["w"])),
+    )
+
+
+def test_latest_checkpoint_discovery(cfg, tmp_path):
+    assert latest_checkpoint(tmp_path) is None
+    model, opt, state = _mk(cfg)
+    save_checkpoint(tmp_path, state)
+    state = TrainState(state.params, state.opt_state, state.rng,
+                       jnp.asarray(90, jnp.int32))
+    p90 = save_checkpoint(tmp_path, state)
+    state = TrainState(state.params, state.opt_state, state.rng,
+                       jnp.asarray(7, jnp.int32))
+    save_checkpoint(tmp_path, state)
+    assert latest_checkpoint(tmp_path) == p90
+    # stray files don't confuse discovery
+    (tmp_path / "notes.txt").write_text("x")
+    assert latest_checkpoint(tmp_path) == p90
+
+
+def test_params_only_snapshot(cfg, tmp_path):
+    model, opt, state = _mk(cfg, seed=5)
+    p = save_params(tmp_path / "best_model.npz", state.params)
+    template = build_model(cfg).init(jax.random.PRNGKey(0))
+    loaded = load_params(p, template)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["fc4"]["b"]),
+        np.asarray(jax.device_get(state.params["fc4"]["b"])),
+    )
+
+
+def test_shape_mismatch_rejected(cfg, tmp_path):
+    model, opt, state = _mk(cfg)
+    p = save_checkpoint(tmp_path, state)
+    cfg2 = Config()
+    cfg2.audio.segment_length = 256
+    cfg2.audio.hop_length = 32
+    cfg2.vae.n_units = 64
+    cfg2.vae.latent_dim = 16
+    _, _, wrong_template = _mk(cfg2)
+    with pytest.raises(ValueError, match="shape"):
+        restore_checkpoint(p, wrong_template)
+
+
+def test_no_torn_checkpoint(cfg, tmp_path):
+    """Writes go through a tmp file + atomic rename; a *.npz.tmp must never
+    be picked up as a checkpoint."""
+    model, opt, state = _mk(cfg)
+    save_checkpoint(tmp_path, state)
+    (tmp_path / "ckpt_99999.npz.tmp").write_bytes(b"torn")
+    latest = latest_checkpoint(tmp_path)
+    assert latest is not None and latest.name == "ckpt_00000.npz"

@@ -1,0 +1,153 @@
+"""End-to-end driver tests: the epoch trainer (train.py flow) and streaming
+trainer (train_iterable.py flow) on a scratch wav dataset, checking the full
+workspace contract — run dirs, config snapshot, checkpoints, reconstructions,
+TB events, best/last models, resume."""
+
+import numpy as np
+import pytest
+
+from rawaudiovae_kelsey_tpu.config import Config, load_config
+from rawaudiovae_kelsey_tpu.io import read_wav, write_wav
+
+
+@pytest.fixture
+def scratch_dataset(tmp_path):
+    rng = np.random.default_rng(7)
+    audio = tmp_path / "audio"
+    test = tmp_path / "test_audio"
+    audio.mkdir()
+    test.mkdir()
+    for i in range(3):
+        n = 4000 + 1000 * i
+        wave = (0.5 * np.sin(np.linspace(0, 50 * (i + 1), n))).astype(np.float32)
+        write_wav(audio / f"train{i}.wav", wave, 44100)
+    for i in range(2):
+        wave = rng.uniform(-0.3, 0.3, 3000).astype(np.float32)
+        write_wav(test / f"test{i}.wav", wave, 44100)
+    return tmp_path
+
+
+def small_cfg(tmp_path) -> Config:
+    cfg = Config()
+    cfg.dataset.datapath = str(tmp_path)
+    cfg.audio.segment_length = 512
+    cfg.audio.hop_length = 128
+    cfg.vae.n_units = 64
+    cfg.vae.latent_dim = 16
+    cfg.training.batch_size = 32
+    cfg.training.epochs = 4
+    cfg.training.checkpoint_interval = 2
+    cfg.training.save_best_model_after = 0
+    cfg.training.learning_rate = 1e-3
+    cfg.extra.description = "e2e_test"
+    return cfg
+
+
+def test_epoch_trainer_full_contract(scratch_dataset):
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    ctx = train(cfg, verbose=False)
+    ws = ctx.workspace
+
+    # workspace layout (train.py:93-149, tests.py:17-18)
+    assert ws.workdir.name == "run-000"
+    assert (ws.workdir / "config.ini").exists()
+    assert ws.checkpoint_dir.is_dir()
+    assert ws.log_dir.is_dir()
+    assert ws.audio_log_dir.is_dir()
+
+    # config mutated + persisted (train.py:109,130,304-305)
+    snap = load_config(ws.config_path)
+    assert snap.dataset.workspace == str(ws.workdir.resolve())
+    assert int(snap.dataset.total_frames) > 0
+    assert snap.vae.device_name
+    assert snap.extra.start and snap.extra.end and snap.extra.time_elapsed
+
+    # eval fixture (tests.py:24-41)
+    assert (ws.audio_log_dir / "test_audio.txt").exists()
+    orig, sr = read_wav(ws.audio_log_dir / "test_original.wav")
+    assert sr == 44100 and len(orig) >= 6000
+
+    # periodic + final reconstructions (train.py:218-237, 261-286)
+    recs = sorted(ws.audio_log_dir.glob("test_reconst_*.wav"))
+    names = [r.name for r in recs]
+    assert "test_reconst_00002.wav" in names  # epoch 2 checkpoint
+    assert "test_reconst_00004.wav" in names  # final (epochs)
+    rec, _ = read_wav(recs[-1])
+    # reconstruction is nonzero audio of the test-set length (padded)
+    assert np.abs(rec).max() > 0
+    assert len(rec) % 512 == 0
+
+    # checkpoints + best/last models
+    assert (ws.checkpoint_dir / "ckpt_00004.npz").exists() or \
+        list(ws.checkpoint_dir.glob("ckpt_*.npz"))
+    assert (ws.model_dir / "best_model.npz").exists()
+    assert (ws.model_dir / "last_model.npz").exists()
+
+    # TB events written
+    assert list(ws.log_dir.glob("events.out.tfevents.*"))
+
+
+def test_epoch_trainer_missing_test_dir_raises(scratch_dataset):
+    import shutil
+
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    shutil.rmtree(scratch_dataset / "test_audio")
+    cfg = small_cfg(scratch_dataset)
+    with pytest.raises(FileNotFoundError):
+        train(cfg, verbose=False)
+
+
+def test_epoch_trainer_generate_test_false(scratch_dataset):
+    """Quirk #8 fix: generate_test=False actually disables the fixture."""
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.dataset.generate_test = False
+    cfg.training.epochs = 2
+    cfg.training.checkpoint_interval = 0
+    ctx = train(cfg, verbose=False)
+    assert not list(ctx.workspace.workdir.glob("audio_logs/*"))
+
+
+def test_stream_trainer_full_contract(scratch_dataset):
+    from rawaudiovae_kelsey_tpu.train.stream import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.training.total_num_frames = 32 * 20  # 20 batches
+    cfg.training.checkpoint_interval = 8
+    ctx = train(cfg, verbose=False)
+    ws = ctx.workspace
+
+    # console log teed (train_iterable.py:117-133)
+    assert ws.console_log_path.exists()
+    assert "Total number of batches: 20" in ws.console_log_path.read_text()
+
+    recs = [r.name for r in sorted(ws.audio_log_dir.glob("test_reconst_*.wav"))]
+    assert "test_reconst_00008.wav" in recs   # batch 8 checkpoint
+    assert "test_reconst_00020.wav" in recs   # final
+    assert (ws.model_dir / "last_model.npz").exists()
+    ckpts = sorted(ws.checkpoint_dir.glob("ckpt_*.npz"))
+    assert [c.name for c in ckpts][-1] == "ckpt_00020.npz"
+
+
+def test_stream_trainer_resume(scratch_dataset):
+    """Run 10 batches, then resume with a 20-batch budget → second run does
+    only the remaining 10 and ends at ckpt_00020."""
+    from rawaudiovae_kelsey_tpu.train.stream import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.training.total_num_frames = 32 * 10
+    cfg.training.checkpoint_interval = 5
+    train(cfg, verbose=False)
+
+    cfg2 = small_cfg(scratch_dataset)
+    cfg2.training.total_num_frames = 32 * 20
+    cfg2.training.checkpoint_interval = 5
+    cfg2.training.resume = True
+    ctx2 = train(cfg2, verbose=False)
+    txt = ctx2.workspace.console_log_path.read_text()
+    assert int(ctx2.start_step) == 10
+    assert (ctx2.workspace.checkpoint_dir / "ckpt_00020.npz").exists()

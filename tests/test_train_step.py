@@ -1,0 +1,252 @@
+"""Train-step tests: loss decreases, microbatch accumulation equivalence,
+RNG reproducibility, Adam parity vs torch, mesh sharding on the 8-device CPU
+mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.models import build_model
+from rawaudiovae_kelsey_tpu.parallel import (
+    build_train_step,
+    make_mesh,
+    named_shardings,
+    param_specs,
+)
+from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
+from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
+
+
+def small_cfg(**tpu_kw):
+    cfg = Config()
+    cfg.audio.segment_length = 256
+    cfg.audio.hop_length = 64
+    cfg.vae.n_units = 128
+    cfg.vae.latent_dim = 32
+    cfg.training.batch_size = 64
+    cfg.training.learning_rate = 1e-3
+    for k, v in tpu_kw.items():
+        setattr(cfg.tpu, k, v)
+    return cfg
+
+
+def make_state(cfg, seed=0):
+    model = build_model(cfg)
+    opt = build_optimizer(cfg)
+    params = model.init(jax.random.PRNGKey(seed))
+    return model, opt, TrainState.create(params, opt.init(params), seed=seed)
+
+
+def batch_of(cfg, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.uniform(-1, 1, (n, cfg.audio.segment_length)).astype(np.float32)
+    )
+
+
+def test_loss_decreases():
+    cfg = small_cfg()
+    model, opt, state = make_state(cfg)
+    step = build_train_step(model, cfg, opt)
+    batch = batch_of(cfg)
+    losses = []
+    for _ in range(100):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.6
+    assert int(jax.device_get(state.step)) == 100
+    assert all(np.isfinite(losses))
+
+
+def test_step_reproducible_given_same_state():
+    cfg = small_cfg()
+    model, opt, _ = make_state(cfg)
+    batch = batch_of(cfg)
+    outs = []
+    for _ in range(2):
+        _, _, state = make_state(cfg, seed=0)
+        step = build_train_step(model, cfg, opt, donate=False)
+        state, m = step(state, batch)
+        outs.append((float(m["loss"]),
+                     np.asarray(jax.device_get(state.params["fc1"]["w"]))))
+    assert outs[0][0] == outs[1][0]
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_metrics_components():
+    cfg = small_cfg()
+    model, opt, state = make_state(cfg)
+    step = build_train_step(model, cfg, opt, donate=False)
+    _, m = step(state, batch_of(cfg))
+    loss, mse, kld = (float(m[k]) for k in ("loss", "mse", "kld"))
+    assert loss == pytest.approx(mse + cfg.vae.kl_beta * kld, rel=1e-5)
+
+
+def test_microbatch_changes_nothing_but_memory():
+    """Grad accumulation over microbatches must produce (nearly) the same
+    update as the monolithic batch: same mean gradient, same Adam step.
+    RNG differs per microbatch so compare against an explicitly-equivalent
+    run: deterministic check via loss trajectory equality at kl_beta=0 and
+    logvar-free? Simpler: compare grads math with deterministic eps=0 path
+    by zeroing logvar impact — instead we verify the weaker but meaningful
+    property: both configurations converge to similar loss."""
+    cfg_mono = small_cfg()
+    cfg_micro = small_cfg(microbatch_size=16)
+    batch = batch_of(cfg_mono, n=64)
+    results = []
+    for cfg in (cfg_mono, cfg_micro):
+        model, opt, state = make_state(cfg, seed=1)
+        step = build_train_step(model, cfg, opt)
+        for _ in range(20):
+            state, m = step(state, batch)
+        results.append(float(m["loss"]))
+    assert results[1] == pytest.approx(results[0], rel=0.15)
+
+
+def test_microbatch_indivisible_raises():
+    cfg = small_cfg(microbatch_size=7)
+    model, opt, state = make_state(cfg)
+    step = build_train_step(model, cfg, opt)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, batch_of(cfg, n=64))
+
+
+def test_bfloat16_precision_trains():
+    cfg = small_cfg(precision="bfloat16")
+    model, opt, state = make_state(cfg)
+    step = build_train_step(model, cfg, opt)
+    batch = batch_of(cfg)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # master params stay fp32
+    assert state.params["fc1"]["w"].dtype == jnp.float32
+
+
+def test_adam_update_parity_with_torch():
+    """One full step (forward/backward/Adam) against torch on identical
+    weights, batch, and a deterministic latent (logvar path exercised, eps
+    forced to zero by setting deterministic sampling through kl only).
+    We compare gradients of the deterministic part by disabling sampling:
+    torch side uses z = mu too."""
+    torch = pytest.importorskip("torch")
+    seg, units, latent = 64, 96, 16
+    cfg = Config()
+    cfg.audio.segment_length = seg
+    cfg.audio.hop_length = 16
+    cfg.vae.n_units = units
+    cfg.vae.latent_dim = latent
+    cfg.vae.kl_beta = 1e-4
+    cfg.training.learning_rate = 1e-3
+    cfg.tpu.deterministic_inference = True
+
+    # torch model
+    tm = torch.nn.ModuleDict({
+        "fc1": torch.nn.Linear(seg, units),
+        "fc21": torch.nn.Linear(units, latent),
+        "fc22": torch.nn.Linear(units, latent),
+        "fc3": torch.nn.Linear(latent, units),
+        "fc4": torch.nn.Linear(units, seg),
+    })
+    torch.manual_seed(0)
+    from rawaudiovae_kelsey_tpu.compat import state_dict_to_params
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        state_dict_to_params({k: v for k, v in tm.state_dict().items()}),
+    )
+
+    x_np = np.random.default_rng(0).uniform(-1, 1, (32, seg)).astype(np.float32)
+
+    # --- torch step (z = mu deterministic) ---
+    topt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    tx = torch.from_numpy(x_np)
+    h = torch.relu(tm["fc1"](tx))
+    mu, logvar = tm["fc21"](h), tm["fc22"](h)
+    recon = torch.tanh(tm["fc4"](torch.relu(tm["fc3"](mu))))
+    loss = torch.nn.functional.mse_loss(recon, tx) + 1e-4 * (
+        -0.5 * torch.mean(1 + logvar - mu.pow(2) - logvar.exp())
+    )
+    topt.zero_grad()
+    loss.backward()
+    topt.step()
+
+    # --- jax step with the same deterministic graph ---
+    from rawaudiovae_kelsey_tpu.models import vae
+    import optax
+
+    def loss_fn(p):
+        m, lv = vae.encode(p, jnp.asarray(x_np))
+        rec = vae.decode(p, m)  # z = mu
+        return vae.loss_fn(rec, jnp.asarray(x_np), m, lv, 1e-4, seg)
+
+    with jax.default_matmul_precision("highest"):
+        jloss, grads = jax.value_and_grad(loss_fn)(params)
+        opt = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+        opt_state = opt.init(params)
+        updates, _ = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+    assert float(jloss) == pytest.approx(loss.item(), abs=2e-6)
+    # compare updated fc1 weight
+    np.testing.assert_allclose(
+        np.asarray(new_params["fc1"]["w"]).T,
+        tm["fc1"].weight.detach().numpy(),
+        atol=5e-6, rtol=1e-4,
+    )
+
+
+def test_mesh_data_parallel_step():
+    """Full train step over the 8-device CPU mesh with batch sharded on
+    'data' — validates that sharded update == replicated semantics."""
+    cfg = small_cfg()
+    model, opt, state = make_state(cfg, seed=2)
+    mesh = make_mesh()  # 8x1
+    specs = param_specs(model.name, state.params, 1)
+    sharded_params = jax.device_put(state.params, named_shardings(mesh, specs))
+    sh_state = TrainState.create(sharded_params, opt.init(sharded_params),
+                                 seed=2)
+    step_sharded = build_train_step(model, cfg, opt, mesh=mesh, donate=False)
+    step_plain = build_train_step(model, cfg, opt, donate=False)
+
+    batch = batch_of(cfg, n=64, seed=3)
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    s1, m1 = step_sharded(sh_state, sharded_batch)
+    s0, m0 = step_plain(state, batch)
+    assert float(m1["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(s1.params["fc1"]["w"])),
+        np.asarray(jax.device_get(s0.params["fc1"]["w"])),
+        atol=1e-6,
+    )
+
+
+def test_mesh_model_parallel_dense():
+    """2-way tensor parallel on the dense model over a 4x2 mesh."""
+    cfg = small_cfg(model_parallel=2)
+    model, opt, state = make_state(cfg, seed=4)
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    specs = param_specs(model.name, state.params, 2)
+    sharded_params = jax.device_put(state.params, named_shardings(mesh, specs))
+    # fc1 w sharded over model axis on dim 1
+    assert sharded_params["fc1"]["w"].sharding.spec == specs["fc1"]["w"]
+    sh_state = TrainState.create(sharded_params, opt.init(sharded_params),
+                                 seed=4)
+    step = build_train_step(model, cfg, opt, mesh=mesh, donate=False)
+    batch = jax.device_put(batch_of(cfg, n=64, seed=5), batch_sharding(mesh))
+    s1, m1 = step(sh_state, batch)
+
+    _, _, ref_state = make_state(cfg, seed=4)
+    ref_step = build_train_step(model, cfg, opt, donate=False)
+    s0, m0 = ref_step(ref_state, batch_of(cfg, n=64, seed=5))
+    assert float(m1["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(s1.params["fc4"]["w"])),
+        np.asarray(jax.device_get(s0.params["fc4"]["w"])),
+        atol=1e-5,  # collective accumulation-order noise
+    )
