@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Measures training throughput (frames/sec) of the TPU-native jitted train step
+at the reference's practical configuration — dense VAE 1024/2048/256, batch
+4096 (kelsey_iterable.ini:36) — against the PyTorch-CPU baseline defined by
+BASELINE.json ("≥10× PyTorch-CPU train.py frames/sec"): the same architecture,
+loss and Adam step executed the way the reference's training loop does
+(train.py:179-196).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Flags:
+    --steps N        timed steps for the JAX side (default 100)
+    --batch N        batch size (default 4096)
+    --precision P    highest | float32 | bfloat16 (default bfloat16)
+    --backend B      xla | pallas (default: pallas if available, else xla)
+    --no-torch       skip the torch baseline (vs_baseline falls back to a
+                     cached measurement if present)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+CACHE = Path(__file__).parent / ".bench_torch_baseline.json"
+
+SEG, UNITS, LATENT = 1024, 2048, 256
+KL_BETA, LR = 1e-4, 1e-4
+
+
+def bench_jax(batch_size: int, steps: int, precision: str, backend: str) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rawaudiovae_kelsey_tpu.config import Config
+    from rawaudiovae_kelsey_tpu.models import build_model
+    from rawaudiovae_kelsey_tpu.parallel import build_train_step
+    from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
+
+    cfg = Config()
+    cfg.audio.segment_length = SEG
+    cfg.vae.n_units = UNITS
+    cfg.vae.latent_dim = LATENT
+    cfg.vae.kl_beta = KL_BETA
+    cfg.training.learning_rate = LR
+    cfg.training.batch_size = batch_size
+    cfg.tpu.precision = precision
+    cfg.tpu.backend = backend
+
+    model = build_model(cfg)
+    opt = build_optimizer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = TrainState.create(params, opt.init(params), seed=0)
+    step = build_train_step(model, cfg, opt)
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(-1, 1, (batch_size, SEG)).astype(np.float32))
+
+    # warmup: compile + steady steps.  Must FETCH a value: through the axon
+    # tunnel, compilation is asynchronous and block_until_ready can return
+    # before it finishes, which would put the compile inside the timed region.
+    for _ in range(3):
+        state, m = step(state, batch)
+    float(jax.device_get(m["loss"]))
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, batch)
+    # force materialization of the whole chain (block_until_ready alone is
+    # unreliable through the axon tunnel)
+    float(jax.device_get(m["loss"]))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def bench_torch_cpu(batch_size: int, steps: int = 3) -> float:
+    """The reference train-step loop on torch CPU (architecture and loss per
+    rawvae/model.py, loop per train.py:179-196) — measured, not assumed."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(0)
+
+    class RefVAE(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = torch.nn.Linear(SEG, UNITS)
+            self.fc21 = torch.nn.Linear(UNITS, LATENT)
+            self.fc22 = torch.nn.Linear(UNITS, LATENT)
+            self.fc3 = torch.nn.Linear(LATENT, UNITS)
+            self.fc4 = torch.nn.Linear(UNITS, SEG)
+
+        def forward(self, x):
+            h1 = torch.relu(self.fc1(x))
+            mu, logvar = self.fc21(h1), self.fc22(h1)
+            std = torch.exp(0.5 * logvar)
+            z = mu + torch.randn_like(std) * std
+            return torch.tanh(self.fc4(torch.relu(self.fc3(z)))), mu, logvar
+
+    model = RefVAE()
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR)
+    x = torch.from_numpy(
+        np.random.default_rng(0).uniform(-1, 1, (batch_size, SEG))
+        .astype(np.float32)
+    )
+
+    def one_step():
+        optimizer.zero_grad()
+        recon, mu, logvar = model(x)
+        loss = torch.nn.functional.mse_loss(recon, x) + KL_BETA * (
+            -0.5 * torch.mean(1 + logvar - mu.pow(2) - logvar.exp())
+        )
+        loss.backward()
+        optimizer.step()
+        return float(loss.item())
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--precision", type=str, default="bfloat16")
+    ap.add_argument("--backend", type=str, default="xla")
+    ap.add_argument("--no-torch", action="store_true")
+    args = ap.parse_args()
+
+    fps = bench_jax(args.batch, args.steps, args.precision, args.backend)
+
+    baseline = None
+    if not args.no_torch:
+        try:
+            baseline = bench_torch_cpu(args.batch)
+            CACHE.write_text(json.dumps(
+                {"torch_cpu_frames_per_sec": baseline, "batch": args.batch}
+            ))
+        except Exception as e:  # noqa: BLE001
+            print(f"torch baseline failed: {e}", file=sys.stderr)
+    if baseline is None and CACHE.exists():
+        baseline = json.loads(CACHE.read_text()).get("torch_cpu_frames_per_sec")
+
+    result = {
+        "metric": "train_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
