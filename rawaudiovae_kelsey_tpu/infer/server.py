@@ -1,0 +1,184 @@
+"""Batched inference service.
+
+BASELINE.json config #5: "inference server: batched encode/interpolate/decode
+with overlap-add streaming synthesis" — the service-shaped replacement for
+the reference's notebook loop + ONNX export.  Concurrent callers submit
+waveforms; a worker thread coalesces outstanding requests of the same kind
+into fixed-shape device batches (one compiled executable per kind), runs
+them, and resolves per-request futures.  Fixed batch shapes mean exactly
+three XLA compilations total, regardless of request sizes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rawaudiovae_kelsey_tpu.infer.api import frame_audio
+from rawaudiovae_kelsey_tpu.infer.synthesis import flat_concat, overlap_add
+from rawaudiovae_kelsey_tpu.models.registry import ModelDef
+from rawaudiovae_kelsey_tpu.models.vae import reparameterize
+
+
+@dataclass
+class _Request:
+    kind: str                   # "encode" | "decode" | "reconstruct"
+    frames: np.ndarray
+    future: Future
+    # resynthesis options for "reconstruct"
+    hop: Optional[int] = None
+    ola: bool = False
+
+
+class InferenceServer:
+    def __init__(self, model: ModelDef, params, batch_size: int = 256,
+                 max_wait_ms: float = 2.0, deterministic: bool = False,
+                 seed: int = 0):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_ms / 1e3
+        self.deterministic = deterministic
+        self._key = jax.random.PRNGKey(seed)
+        self._tick = 0
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        self._encode = jax.jit(lambda x: model.encode(params, x))
+        self._decode = jax.jit(lambda z: model.decode(params, z))
+
+        def _reconstruct(key, x):
+            mu, logvar = model.encode(params, x)
+            z = reparameterize(key, mu, logvar, deterministic)
+            return model.decode(params, z)
+
+        self._reconstruct = jax.jit(_reconstruct)
+
+    # ------------------------------------------------------------- public --
+    def start(self) -> "InferenceServer":
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def encode(self, audio: np.ndarray,
+               hop: Optional[int] = None) -> "Future[Tuple[np.ndarray, np.ndarray]]":
+        """→ Future of (mu, logvar) trajectories."""
+        frames = self._to_frames(audio, hop)
+        return self._submit(_Request("encode", frames, Future()))
+
+    def decode(self, z: np.ndarray) -> "Future[np.ndarray]":
+        """→ Future of decoded frames (N, segment)."""
+        z = np.asarray(z, np.float32).reshape(-1, self.model.latent_dim)
+        return self._submit(_Request("decode", z, Future()))
+
+    def reconstruct(self, audio: np.ndarray, hop: Optional[int] = None,
+                    ola: bool = False) -> "Future[np.ndarray]":
+        """→ Future of a resynthesized waveform.  ``hop`` enables the
+        overlapping-encode stretch mode; ``ola=True`` applies windowed
+        overlap-add instead of flat concat."""
+        frames = self._to_frames(audio, hop)
+        return self._submit(_Request("reconstruct", frames, Future(),
+                                     hop=hop, ola=ola))
+
+    # ------------------------------------------------------------ worker ---
+    def _to_frames(self, audio: np.ndarray, hop: Optional[int]) -> np.ndarray:
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            return frame_audio(audio, self.model.segment_length, hop)
+        return audio
+
+    def _submit(self, req: _Request) -> Future:
+        if self._thread is None or not self._thread.is_alive():
+            raise RuntimeError("server not started")
+        self._q.put(req)
+        return req.future
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group: List[_Request] = [first]
+            rows = len(first.frames)
+            # coalesce same-kind requests up to one device batch
+            deadline = self.max_wait_s
+            while rows < self.batch_size:
+                try:
+                    nxt = self._q.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if nxt.kind != first.kind:
+                    self._q.put(nxt)  # different executable; next round
+                    break
+                group.append(nxt)
+                rows += len(nxt.frames)
+            try:
+                self._run_group(group)
+            except BaseException as e:  # noqa: BLE001
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_group(self, group: List[_Request]) -> None:
+        kind = group[0].kind
+        all_frames = np.concatenate([r.frames for r in group], axis=0)
+        outs = self._run_batched(kind, all_frames)
+        # split results back per request
+        offsets = np.cumsum([0] + [len(r.frames) for r in group])
+        for r, lo, hi in zip(group, offsets[:-1], offsets[1:]):
+            if kind == "encode":
+                r.future.set_result((outs[0][lo:hi], outs[1][lo:hi]))
+            elif kind == "decode":
+                r.future.set_result(outs[0][lo:hi])
+            else:  # reconstruct → resynthesize
+                frames = outs[0][lo:hi]
+                if r.ola and r.hop:
+                    r.future.set_result(overlap_add(frames, r.hop))
+                else:
+                    r.future.set_result(flat_concat(frames))
+
+    def _run_batched(self, kind: str, frames: np.ndarray):
+        B = self.batch_size
+        n = len(frames)
+        parts: List[Tuple[np.ndarray, ...]] = []
+        for i in range(0, n, B):
+            chunk = frames[i:i + B]
+            pad = B - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, chunk.shape[1]), np.float32)], 0
+                )
+            x = jnp.asarray(chunk)
+            if kind == "encode":
+                mu, logvar = self._encode(x)
+                parts.append((np.asarray(mu)[:B - pad],
+                              np.asarray(logvar)[:B - pad]))
+            elif kind == "decode":
+                parts.append((np.asarray(self._decode(x))[:B - pad],))
+            else:
+                self._tick += 1
+                key = jax.random.fold_in(self._key, self._tick)
+                parts.append(
+                    (np.asarray(self._reconstruct(key, x))[:B - pad],)
+                )
+        return tuple(np.concatenate(cols, axis=0) for cols in zip(*parts))
