@@ -34,11 +34,11 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 def load(path, sr: int | None = None, mono: str = "mean") -> tuple[np.ndarray, int]:
     """Decode + mono-mixdown + resample, the ``librosa.load(f, sr=...)``
     contract of train.py:120 / tests.py:30: returns float32 mono at ``sr``
-    (or the native rate when ``sr`` is None)."""
-    from rawaudiovae_kelsey_tpu.io.wavio import read_wav, to_mono
+    (or the native rate when ``sr`` is None).  Decode + mixdown go through
+    the C++ fast path (io/native.py) when libtpuaudio is available."""
+    from rawaudiovae_kelsey_tpu.io.native import decode_mono
 
-    samples, native_sr = read_wav(path)
-    wave = to_mono(samples, mode=mono)
+    wave, native_sr = decode_mono(path, mono=mono)
     if sr is not None and sr != native_sr:
         wave = resample(wave, native_sr, sr)
         native_sr = sr

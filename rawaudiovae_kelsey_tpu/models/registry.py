@@ -60,14 +60,19 @@ def build_model(cfg: Config) -> ModelDef:
 
     if arch == "dense":
         n_units = cfg.vae.n_units
+        encode_fn, decode_fn = vae.encode, vae.decode
+        if cfg.tpu.backend == "pallas":
+            from rawaudiovae_kelsey_tpu.ops import pallas_decode, pallas_encode
+
+            encode_fn, decode_fn = pallas_encode, pallas_decode
         return ModelDef(
             name="dense",
             segment_length=seg,
             latent_dim=latent,
             init=partial(vae.init_dense, segment_length=seg,
                          n_units=n_units, latent_dim=latent),
-            encode=vae.encode,
-            decode=vae.decode,
+            encode=encode_fn,
+            decode=decode_fn,
         )
 
     if arch == "deep":

@@ -1,0 +1,8 @@
+from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (  # noqa: F401
+    decoder_bwd,
+    decoder_fwd,
+    encoder_bwd,
+    encoder_fwd,
+    pallas_decode,
+    pallas_encode,
+)

@@ -1,0 +1,161 @@
+"""Pallas kernel parity vs the XLA reference implementations, in interpret
+mode on CPU (real-TPU runs are exercised by bench.py --backend pallas)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.models import build_model, vae
+from rawaudiovae_kelsey_tpu.ops import (
+    decoder_fwd,
+    encoder_fwd,
+    pallas_decode,
+    pallas_encode,
+)
+
+SEG, UNITS, LATENT = 256, 512, 128
+B = 96  # deliberately NOT a multiple of the 256 default block → padding path
+
+
+@pytest.fixture(scope="module")
+def params():
+    return vae.init_dense(jax.random.PRNGKey(0), SEG, UNITS, LATENT)
+
+
+@pytest.fixture(scope="module")
+def x():
+    return jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (B, SEG)).astype(np.float32)
+    )
+
+
+def test_encoder_fwd_parity(params, x):
+    mu, logvar, h = encoder_fwd(
+        params["fc1"]["w"], params["fc1"]["b"],
+        params["fc21"]["w"], params["fc21"]["b"],
+        params["fc22"]["w"], params["fc22"]["b"], x,
+    )
+    ref_mu, ref_logvar = vae.encode(params, x)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(ref_mu),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(logvar), np.asarray(ref_logvar),
+                               atol=1e-5, rtol=1e-5)
+    ref_h = jax.nn.relu(x @ params["fc1"]["w"] + params["fc1"]["b"])
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_decoder_fwd_parity(params):
+    z = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, LATENT)).astype(np.float32)
+    )
+    y, h3 = decoder_fwd(
+        params["fc3"]["w"], params["fc3"]["b"],
+        params["fc4"]["w"], params["fc4"]["b"], z,
+    )
+    ref = vae.decode(params, z)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_encode_grad_parity(params, x):
+    """custom-VJP backward (pallas) vs jax.grad of the XLA encode."""
+
+    def loss_pallas(p):
+        mu, logvar = pallas_encode(p, x)
+        return jnp.sum(mu * 1.3) + jnp.sum(jnp.square(logvar))
+
+    def loss_ref(p):
+        mu, logvar = vae.encode(p, x)
+        return jnp.sum(mu * 1.3) + jnp.sum(jnp.square(logvar))
+
+    g1 = jax.grad(loss_pallas)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for name in ("fc1", "fc21", "fc22"):
+        np.testing.assert_allclose(
+            np.asarray(g1[name]["w"]), np.asarray(g2[name]["w"]),
+            atol=2e-4, rtol=1e-4, err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g1[name]["b"]), np.asarray(g2[name]["b"]),
+            atol=2e-4, rtol=1e-4, err_msg=name,
+        )
+    # untouched decoder weights get exact zeros
+    assert float(jnp.abs(g1["fc3"]["w"]).max()) == 0.0
+
+
+def test_decode_grad_parity(params):
+    z = jnp.asarray(
+        np.random.default_rng(2).standard_normal((B, LATENT)).astype(np.float32)
+    )
+    target = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (B, SEG)).astype(np.float32)
+    )
+
+    def loss_pallas(p, zz):
+        return jnp.mean(jnp.square(pallas_decode(p, zz) - target))
+
+    def loss_ref(p, zz):
+        return jnp.mean(jnp.square(vae.decode(p, zz) - target))
+
+    (g1, gz1) = jax.grad(loss_pallas, argnums=(0, 1))(params, z)
+    (g2, gz2) = jax.grad(loss_ref, argnums=(0, 1))(params, z)
+    np.testing.assert_allclose(np.asarray(gz1), np.asarray(gz2),
+                               atol=1e-5, rtol=1e-4)
+    for name in ("fc3", "fc4"):
+        np.testing.assert_allclose(
+            np.asarray(g1[name]["w"]), np.asarray(g2[name]["w"]),
+            atol=1e-5, rtol=1e-4, err_msg=name,
+        )
+
+
+def test_full_train_step_with_pallas_backend():
+    """End-to-end: a train step built with backend=pallas matches the XLA
+    step update to accumulation tolerance."""
+    from rawaudiovae_kelsey_tpu.parallel import build_train_step
+    from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
+
+    def mk(backend):
+        cfg = Config()
+        cfg.audio.segment_length = SEG
+        cfg.audio.hop_length = 64
+        cfg.vae.n_units = UNITS
+        cfg.vae.latent_dim = LATENT
+        cfg.training.learning_rate = 1e-3
+        cfg.tpu.backend = backend
+        model = build_model(cfg)
+        opt = build_optimizer(cfg)
+        p = model.init(jax.random.PRNGKey(5))
+        state = TrainState.create(p, opt.init(p), seed=5)
+        return build_train_step(model, cfg, opt, donate=False), state
+
+    batch = jnp.asarray(
+        np.random.default_rng(4).uniform(-1, 1, (64, SEG)).astype(np.float32)
+    )
+    step_p, state_p = mk("pallas")
+    step_x, state_x = mk("xla")
+    sp, mp = step_p(state_p, batch)
+    sx, mx = step_x(state_x, batch)
+    assert float(mp["loss"]) == pytest.approx(float(mx["loss"]), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sp.params["fc1"]["w"]), np.asarray(sx.params["fc1"]["w"]),
+        atol=1e-5,
+    )
+
+
+def test_block_divisible_path(params):
+    """B an exact multiple of the block — no padding branch."""
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(-1, 1, (512, SEG)).astype(np.float32)
+    )
+    mu, logvar, _ = encoder_fwd(
+        params["fc1"]["w"], params["fc1"]["b"],
+        params["fc21"]["w"], params["fc21"]["b"],
+        params["fc22"]["w"], params["fc22"]["b"], x, block_b=256,
+    )
+    ref_mu, _ = vae.encode(params, x)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(ref_mu),
+                               atol=1e-5, rtol=1e-5)
