@@ -82,6 +82,51 @@ def bench_jax(batch_size: int, steps: int, precision: str, backend: str) -> floa
     return batch_size * steps / dt
 
 
+def bench_synth(batch_size: int, steps: int, precision: str,
+                backend: str) -> float:
+    """Real-time synthesis factor (BASELINE.json "metric"): how many seconds
+    of 44.1 kHz audio the decode path (latent → waveform) produces per
+    wall-clock second, measured on device-resident latents."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rawaudiovae_kelsey_tpu.config import Config
+    from rawaudiovae_kelsey_tpu.models import build_model
+
+    cfg = Config()
+    cfg.audio.segment_length = SEG
+    cfg.vae.n_units = UNITS
+    cfg.vae.latent_dim = LATENT
+    cfg.tpu.precision = precision
+    cfg.tpu.backend = backend
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    if precision == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16), params
+        )
+
+    decode = jax.jit(lambda z: model.decode(params, z))
+    z = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch_size, LATENT))
+        .astype(np.float32)
+    )
+    if precision == "bfloat16":
+        z = z.astype(jnp.bfloat16)
+    out = decode(z)
+    float(jax.device_get(out[0, 0]))  # force compile (axon async)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = decode(z)
+    float(jax.device_get(out[0, 0]))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    samples_per_sec = batch_size * SEG * steps / dt
+    return samples_per_sec / 44100.0
+
+
 def bench_torch_cpu(batch_size: int, steps: int = 3) -> float:
     """The reference train-step loop on torch CPU (architecture and loss per
     rawvae/model.py, loop per train.py:179-196) — measured, not assumed."""
@@ -138,7 +183,22 @@ def main() -> None:
     ap.add_argument("--precision", type=str, default="bfloat16")
     ap.add_argument("--backend", type=str, default="xla")
     ap.add_argument("--no-torch", action="store_true")
+    ap.add_argument("--metric", type=str, default="train",
+                    choices=["train", "synth"],
+                    help="train = frames/sec of the jitted train step; "
+                         "synth = real-time synthesis factor of decode")
     args = ap.parse_args()
+
+    if args.metric == "synth":
+        rtf = bench_synth(args.batch, args.steps, args.precision,
+                          args.backend)
+        print(json.dumps({
+            "metric": "realtime_synth_factor",
+            "value": round(rtf, 1),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf, 1),  # baseline = 1.0 (real time)
+        }))
+        return
 
     fps = bench_jax(args.batch, args.steps, args.precision, args.backend)
 

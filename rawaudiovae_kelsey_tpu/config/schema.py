@@ -152,6 +152,14 @@ class TPUConfig:
     deterministic_inference: bool = False
     # Checkpoint format: "orbax" | "msgpack".
     checkpoint_format: str = "msgpack"
+    # Multi-host (DCN): initialize jax.distributed at driver start.  On TPU
+    # pods the coordinator/process info comes from the environment.
+    multihost: bool = False
+    coordinator_address: str = ""
+    # Capture a jax.profiler trace for steps [profile_start, profile_start +
+    # profile_steps) into <workdir>/logs/profile (0 = off).
+    profile_steps: int = 0
+    profile_start: int = 10
 
 
 @dataclass

@@ -49,6 +49,55 @@ def make_mesh(data_parallel: int = 0, model_parallel: int = 1,
     )
 
 
+def maybe_initialize_distributed(coordinator_address: str = "",
+                                 num_processes: int = 0,
+                                 process_id: int = -1) -> bool:
+    """Multi-host (DCN) bring-up via the standard JAX runtime.
+
+    On TPU pods the arguments come from the environment and all three can be
+    left empty; explicit values support manual clusters.  Safe to call when
+    already initialized or single-host (returns False on no-op).
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized
+    try:
+        kwargs = {}
+        if coordinator_address:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes > 0:
+            kwargs["num_processes"] = num_processes
+        if process_id >= 0:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+        return True
+    except Exception:
+        return False
+
+
+def host_shard_info() -> tuple[int, int]:
+    """(host_id, num_hosts) for per-host ingest sharding."""
+    return jax.process_index(), jax.process_count()
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns writing (checkpoints, TB, wavs)."""
+    return jax.process_index() == 0
+
+
+def global_batch_from_local(mesh: Mesh, local_batch) -> jax.Array:
+    """Assemble a globally-sharded batch from this host's local rows.
+
+    Single-host this is just a sharded ``device_put``; multi-host it stitches
+    each host's shard into one global array over the ``data`` axis
+    (``jax.make_array_from_process_local_data``) so no host ever materializes
+    the full batch.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Frames are embarrassingly parallel: shard batch over ``data``."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -45,9 +45,13 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
     # eager ingest (train.py:113-130)
     if verbose:
         print("creating the dataset...")
+    from rawaudiovae_kelsey_tpu.parallel.mesh import host_shard_info
+
+    host_id, num_hosts = host_shard_info()
     corpus, n_samples = build_corpus(
         datapath_audio_dir(cfg), cfg.audio.sampling_rate,
         mono=cfg.dataset.mono, verbose=verbose,
+        host_id=host_id, num_hosts=num_hosts,
     )
     total_frames = n_samples // cfg.audio.segment_length
     print(f"Total number of audio frames: {total_frames}")
@@ -67,7 +71,20 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
     lr = cfg.training.learning_rate
     train_loss = float("inf")
 
-    for epoch in range(epochs):
+    # resume: ctx.start_step counts optimizer updates; whole epochs only
+    start_epoch = min(ctx.start_step // max(n_batches, 1), epochs)
+    if start_epoch:
+        print(f"Resuming at epoch {start_epoch}")
+
+    # optional jax.profiler window (SURVEY.md §5.1 — absent in the reference)
+    profile_window = None
+    if cfg.tpu.profile_steps > 0:
+        profile_window = (cfg.tpu.profile_start,
+                          cfg.tpu.profile_start + cfg.tpu.profile_steps)
+    global_step = start_epoch * n_batches
+    profiling = False
+
+    for epoch in range(start_epoch, epochs):
         if verbose:
             print(f"Epoch {epoch}/{epochs - 1}")
             print("-" * 10)
@@ -83,8 +100,18 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
         batch_metrics = []
         ctx.timer.start()
         for batch in feed:
+            if profile_window is not None:
+                if global_step == profile_window[0] and not profiling:
+                    jax.profiler.start_trace(
+                        str(ctx.workspace.log_dir / "profile")
+                    )
+                    profiling = True
+                elif global_step == profile_window[1] and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
             ctx.state, metrics = ctx.train_step(ctx.state, batch)
             batch_metrics.append(metrics["loss"])  # device scalar, no sync
+            global_step += 1
         epoch_s = ctx.timer.stop()
 
         losses = [float(jax.device_get(l)) for l in batch_metrics]
@@ -112,6 +139,8 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
             L.maybe_save_best(ctx, train_loss, epoch,
                               cfg.training.save_best_model_after)
 
+    if profiling:
+        jax.profiler.stop_trace()
     # post-loop finalization (train.py:254-307)
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")

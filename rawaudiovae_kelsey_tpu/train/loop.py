@@ -70,6 +70,12 @@ def setup(cfg: Config, use_mesh: bool = True,
     preamble of both reference drivers (train.py:88-163)."""
     cfg.validate()
     cfg.stamp_start()
+    if cfg.tpu.multihost:
+        from rawaudiovae_kelsey_tpu.parallel.mesh import (
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed(cfg.tpu.coordinator_address)
     device_name = describe_device()
     print(f"Device: {device_name}")
     cfg.vae.device_name = device_name

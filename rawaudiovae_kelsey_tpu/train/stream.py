@@ -50,6 +50,9 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
         )
     print(f"Total number of batches: {total_num_batches}")
 
+    from rawaudiovae_kelsey_tpu.parallel.mesh import host_shard_info
+
+    host_id, num_hosts = host_shard_info()
     dataset = StreamingFrameDataset(
         cfg.dataset.datapath_path / "audio",
         cfg.audio.sampling_rate,
@@ -57,7 +60,9 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
         cfg.audio.segment_length,   # quirk #2 fix: honors config
         shuffle=True,
         mono=cfg.dataset.mono,
-        seed=cfg.tpu.seed,
+        seed=cfg.tpu.seed + host_id,
+        host_id=host_id,
+        num_hosts=num_hosts,
     )
     cfg.dataset.total_frames = str(cfg.training.total_num_frames)
     ctx.workspace.snapshot_config(cfg)
