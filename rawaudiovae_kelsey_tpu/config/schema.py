@@ -143,6 +143,10 @@ class TPUConfig:
     model_parallel: int = 1
     # Host-side prefetch depth for the device feed queue.
     prefetch: int = 2
+    # Dtype batches travel to the device in.  "bfloat16" halves host->device
+    # bandwidth (PCIe/DCN/tunnel) at the cost of bf16-quantized loss targets;
+    # only meaningful with precision=bfloat16.
+    feed_dtype: str = "float32"
     # Log parameter histograms every N steps (reference logged every batch in
     # the iterable trainer, train_iterable.py:216-217 — quirk #10).
     histogram_interval: int = 0         # 0 = per-epoch / per-checkpoint only
@@ -185,6 +189,8 @@ class Config:
             raise ValueError(f"unknown precision {self.tpu.precision!r}")
         if self.tpu.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.tpu.backend!r}")
+        if self.tpu.feed_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown feed_dtype {self.tpu.feed_dtype!r}")
         if self.vae.arch not in ("dense", "deep", "conv1d"):
             raise ValueError(f"unknown arch {self.vae.arch!r}")
         if self.dataset.mono not in ("mean", "first"):

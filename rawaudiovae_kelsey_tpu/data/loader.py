@@ -26,10 +26,12 @@ class DevicePrefetcher:
 
     _SENTINEL = object()
 
-    def __init__(self, host_iter: Iterator, depth: int = 2, sharding=None):
+    def __init__(self, host_iter: Iterator, depth: int = 2, sharding=None,
+                 cast_dtype=None):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
         self._sharding = sharding
+        self._cast_dtype = cast_dtype
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(host_iter,), daemon=True
@@ -41,6 +43,10 @@ class DevicePrefetcher:
             for batch in host_iter:
                 if self._stop.is_set():
                     return
+                if self._cast_dtype is not None:
+                    import ml_dtypes  # numpy bf16 support (jax dependency)
+
+                    batch = batch.astype(self._cast_dtype)
                 if self._sharding is not None:
                     batch = jax.device_put(batch, self._sharding)
                 else:
@@ -81,9 +87,13 @@ class DevicePrefetcher:
             pass
 
 
-def prefetch_to_device(host_iter: Iterator, depth: int = 2, sharding=None
-                       ) -> DevicePrefetcher:
-    return DevicePrefetcher(host_iter, depth=depth, sharding=sharding)
+def prefetch_to_device(host_iter: Iterator, depth: int = 2, sharding=None,
+                       cast_dtype=None) -> DevicePrefetcher:
+    """Background device feed.  ``cast_dtype`` (e.g. ml_dtypes.bfloat16)
+    converts batches on the host thread before transfer — halves
+    host→device bandwidth for bf16 training ([tpu] feed_dtype)."""
+    return DevicePrefetcher(host_iter, depth=depth, sharding=sharding,
+                            cast_dtype=cast_dtype)
 
 
 def pad_batches_for_mesh(host_iter: Iterator, n_devices: int) -> Iterator:

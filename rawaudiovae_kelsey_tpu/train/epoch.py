@@ -26,6 +26,7 @@ from rawaudiovae_kelsey_tpu.data.datasets import AudioFrameDataset
 from rawaudiovae_kelsey_tpu.data.loader import prefetch_to_device
 from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
 from rawaudiovae_kelsey_tpu.train import loop as L
+from rawaudiovae_kelsey_tpu.train.interrupt import GracefulInterrupt
 
 
 def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
@@ -36,12 +37,14 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
 
     ctx = L.setup(cfg)
     try:
-        return _run(ctx, cfg, verbose)
+        with GracefulInterrupt() as stop:
+            return _run(ctx, cfg, verbose, stop)
     finally:
         L.finish(ctx)
 
 
-def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
+def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
+         stop=None) -> L.TrainContext:
     # eager ingest (train.py:113-130)
     if verbose:
         print("creating the dataset...")
@@ -96,7 +99,7 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
 
             host_iter = pad_batches_for_mesh(host_iter, ctx.mesh.devices.size)
         feed = prefetch_to_device(host_iter, depth=cfg.tpu.prefetch,
-                                  sharding=sharding)
+                                  sharding=sharding, cast_dtype=_feed_dtype(cfg))
         batch_metrics = []
         ctx.timer.start()
         for batch in feed:
@@ -112,7 +115,14 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
             ctx.state, metrics = ctx.train_step(ctx.state, batch)
             batch_metrics.append(metrics["loss"])  # device scalar, no sync
             global_step += 1
+            if stop:
+                break
         epoch_s = ctx.timer.stop()
+        if stop:
+            print(f"Interrupted in epoch {epoch}; checkpointing.")
+            feed.close()
+            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
+            return ctx
 
         losses = [float(jax.device_get(l)) for l in batch_metrics]
         train_loss = float(np.sum(losses))
@@ -156,3 +166,10 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
 
 def datapath_audio_dir(cfg: Config) -> Path:
     return cfg.dataset.datapath_path / "audio"
+
+def _feed_dtype(cfg):
+    if cfg.tpu.feed_dtype == "bfloat16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return None

@@ -24,6 +24,7 @@ from rawaudiovae_kelsey_tpu.config import Config
 from rawaudiovae_kelsey_tpu.data.datasets import StreamingFrameDataset
 from rawaudiovae_kelsey_tpu.data.loader import prefetch_to_device
 from rawaudiovae_kelsey_tpu.observe.logging import tee_stdout
+from rawaudiovae_kelsey_tpu.train.interrupt import GracefulInterrupt
 from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
 from rawaudiovae_kelsey_tpu.train import loop as L
 
@@ -35,13 +36,15 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
 
     ctx = L.setup(cfg)
     try:
-        with tee_stdout(ctx.workspace.console_log_path):
-            return _run(ctx, cfg, verbose)
+        with tee_stdout(ctx.workspace.console_log_path), \
+                GracefulInterrupt() as stop:
+            return _run(ctx, cfg, verbose, stop)
     finally:
         L.finish(ctx)
 
 
-def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
+def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
+         stop=None) -> L.TrainContext:
     batch_size = cfg.training.batch_size
     total_num_batches = cfg.training.total_num_frames // batch_size
     if total_num_batches <= 0:
@@ -82,17 +85,22 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
     feed = prefetch_to_device(
         itertools.islice(dataset.batches(batch_size), remaining),
         depth=cfg.tpu.prefetch, sharding=sharding,
+        cast_dtype=_feed_dtype(cfg),
     )
 
     pending = []  # (batch_id, device_loss) — drained off the hot path
     train_loss_accum = 0.0
+    window_loss = 0.0       # since the last checkpoint — drives the best gate
+    window_count = 0
     ctx.timer.start()
 
     def drain():
-        nonlocal train_loss_accum
+        nonlocal train_loss_accum, window_loss, window_count
         for bid, dev_loss in pending:
             l = float(jax.device_get(dev_loss))
             train_loss_accum += l
+            window_loss += l
+            window_count += 1
             ctx.writer.add_scalar("Loss/Batch", l, bid)
             ctx.writer.add_scalar("Learning Rate", lr, bid)
         pending.clear()
@@ -101,6 +109,14 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
         batch_id = start_batch + offset
         ctx.state, metrics = ctx.train_step(ctx.state, batch)
         pending.append((batch_id, metrics["loss"]))
+
+        if stop:
+            drain()
+            print(f"Interrupted at batch {batch_id}; checkpointing.")
+            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
+                                       label=batch_id)
+            feed.close()
+            return ctx
 
         if verbose and batch_id % max(1, interval // 10 or 1) == 0:
             drain()
@@ -119,7 +135,12 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id}, label=batch_id)
-            L.maybe_save_best(ctx, train_loss_accum, batch_id, after=0)
+            # best gate on the mean loss of this checkpoint interval (the
+            # reference compared a cumulative sum against a constant — both
+            # degenerate; see DIVERGENCES.md)
+            interval_mean = window_loss / max(window_count, 1)
+            L.maybe_save_best(ctx, interval_mean, batch_id, after=0)
+            window_loss, window_count = 0.0, 0
 
     drain()
     # final reconstruction + saves (train_iterable.py:271-319)
@@ -127,6 +148,14 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool) -> L.TrainContext:
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, total_num_batches)
     L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches}, label=total_num_batches)
-    L.maybe_save_best(ctx, train_loss_accum, total_num_batches, after=0)
+    L.maybe_save_best(ctx, window_loss / max(window_count, 1),
+                      total_num_batches, after=0)
     L.save_last(ctx)
     return ctx
+
+def _feed_dtype(cfg):
+    if cfg.tpu.feed_dtype == "bfloat16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return None

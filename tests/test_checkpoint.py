@@ -130,3 +130,22 @@ def test_no_torn_checkpoint(cfg, tmp_path):
     (tmp_path / "ckpt_99999.npz.tmp").write_bytes(b"torn")
     latest = latest_checkpoint(tmp_path)
     assert latest is not None and latest.name == "ckpt_00000.npz"
+
+
+def test_orbax_roundtrip(cfg, tmp_path):
+    """Optional orbax backend ([tpu] checkpoint_format = orbax)."""
+    pytest.importorskip("orbax.checkpoint")
+    from rawaudiovae_kelsey_tpu.train.checkpoint import (
+        restore_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    model, opt, state = _mk(cfg, seed=3)
+    path = save_checkpoint_orbax(tmp_path, state)
+    _, _, template = _mk(cfg, seed=77)
+    restored = restore_checkpoint_orbax(path, template)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(restored.params["fc1"]["w"])),
+        np.asarray(jax.device_get(state.params["fc1"]["w"])),
+    )
+    assert int(jax.device_get(restored.step)) == 0

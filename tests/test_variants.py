@@ -99,3 +99,40 @@ def test_variant_determinism():
                         jax.tree_util.tree_leaves(p2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert param_count(p1) > 0
+
+
+@pytest.mark.parametrize(
+    "arch,kw",
+    [
+        ("deep", dict(hidden_dims="256,128")),
+        ("conv1d", dict(conv_channels="8,16", conv_kernel=5, conv_stride=4)),
+    ],
+)
+def test_variant_train_step_learns(arch, kw):
+    """Full jitted train step on each variant: loss decreases, state advances
+    (BASELINE configs #3/#4 trainability)."""
+    from rawaudiovae_kelsey_tpu.parallel import build_train_step
+    from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
+
+    cfg = _cfg(arch, seg=256, latent=16, **kw)
+    cfg.audio.hop_length = 64
+    cfg.training.learning_rate = 1e-3
+    model = build_model(cfg)
+    opt = build_optimizer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = TrainState.create(params, opt.init(params), seed=0)
+    step = build_train_step(model, cfg, opt)
+    # structured (learnable) data: random-phase sinusoids, not white noise
+    rng = np.random.default_rng(0)
+    t = np.arange(256)[None, :] / 256.0
+    phases = rng.uniform(0, 2 * np.pi, (32, 1))
+    freqs = rng.integers(2, 6, (32, 1))
+    batch = jnp.asarray(
+        (0.7 * np.sin(2 * np.pi * freqs * t + phases)).astype(np.float32)
+    )
+    losses = []
+    for _ in range(100):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7
+    assert np.isfinite(losses).all()
