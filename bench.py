@@ -34,7 +34,8 @@ SEG, UNITS, LATENT = 1024, 2048, 256
 KL_BETA, LR = 1e-4, 1e-4
 
 
-def bench_jax(batch_size: int, steps: int, precision: str, backend: str) -> float:
+def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
+              microbatch: int = 0) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,6 +54,7 @@ def bench_jax(batch_size: int, steps: int, precision: str, backend: str) -> floa
     cfg.training.batch_size = batch_size
     cfg.tpu.precision = precision
     cfg.tpu.backend = backend
+    cfg.tpu.microbatch_size = microbatch
 
     model = build_model(cfg)
     opt = build_optimizer(cfg)
@@ -183,6 +185,9 @@ def main() -> None:
     ap.add_argument("--precision", type=str, default="bfloat16")
     ap.add_argument("--backend", type=str, default="xla")
     ap.add_argument("--no-torch", action="store_true")
+    ap.add_argument("--microbatch", type=int, default=0,
+                    help="gradient-accumulation microbatch size (lets the "
+                         "reference default batch 131072 run on one chip)")
     ap.add_argument("--metric", type=str, default="train",
                     choices=["train", "synth"],
                     help="train = frames/sec of the jitted train step; "
@@ -200,7 +205,8 @@ def main() -> None:
         }))
         return
 
-    fps = bench_jax(args.batch, args.steps, args.precision, args.backend)
+    fps = bench_jax(args.batch, args.steps, args.precision, args.backend,
+                    microbatch=args.microbatch)
 
     baseline = None
     if not args.no_torch:

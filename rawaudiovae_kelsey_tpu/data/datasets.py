@@ -120,7 +120,8 @@ class StreamingFrameDataset:
     def __init__(self, audio_folder: Path, sampling_rate: int, hop_size: int,
                  segment_length: int, shuffle: bool = True,
                  mono: str = "first", seed: Optional[int] = None,
-                 host_id: int = 0, num_hosts: int = 1):
+                 host_id: int = 0, num_hosts: int = 1,
+                 decode_workers: int = 2):
         self.audio_folder = Path(audio_folder)
         self.sampling_rate = sampling_rate
         self.hop_size = hop_size
@@ -135,6 +136,10 @@ class StreamingFrameDataset:
         self.num_files = len(self.audio_file_list)
         self._cache: dict = {}
         self.cache_decoded = True
+        # decode-ahead pool: overlaps wav decode/resample of upcoming files
+        # with training (the reference's DataLoader ran with num_workers=0 —
+        # zero overlap, SURVEY.md §2)
+        self.decode_workers = max(0, decode_workers)
 
     def _shuffled(self) -> List[Path]:
         # random.sample(list, len(list)) semantics of dataset.py:42
@@ -152,17 +157,39 @@ class StreamingFrameDataset:
             self._cache[path] = frames
         return frames
 
+    def _file_plan(self) -> Iterator[Path]:
+        """Infinite file sequence: cycle with per-pass shuffle
+        (dataset.py:77-84)."""
+        while True:
+            file_list = self._shuffled() if self.shuffle else self.audio_file_list
+            yield from file_list
+
     def frames_iter(self) -> Iterator[np.ndarray]:
-        """Infinite stream of per-file frame arrays (cycle + per-pass
-        shuffle, dataset.py:77-84)."""
+        """Infinite stream of per-file frame arrays.  With
+        ``decode_workers > 0`` upcoming files are decoded ahead on a thread
+        pool so decode/resample overlaps training (the reference DataLoader
+        ran num_workers=0 — zero overlap)."""
         if self.num_files == 0:
             raise FileNotFoundError(
                 f"no wav files in {self.audio_folder}"
             )
-        while True:
-            file_list = self._shuffled() if self.shuffle else self.audio_file_list
-            for f in file_list:
+        plan = self._file_plan()
+        if self.decode_workers <= 0:
+            for f in plan:
                 frames = self._file_frames(f)
+                if len(frames):
+                    yield frames
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = self.decode_workers + 1
+        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+            pending = [pool.submit(self._file_frames, next(plan))
+                       for _ in range(depth)]
+            while True:
+                fut = pending.pop(0)
+                pending.append(pool.submit(self._file_frames, next(plan)))
+                frames = fut.result()
                 if len(frames):
                     yield frames
 

@@ -168,3 +168,24 @@ def test_prefetcher_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="decode failed"):
         next(it)
+
+
+def test_prefetcher_cast_dtype():
+    import ml_dtypes
+
+    batches = [np.full((4, 8), 0.5, np.float32) for _ in range(3)]
+    out = list(prefetch_to_device(iter(batches), depth=2,
+                                  cast_dtype=ml_dtypes.bfloat16))
+    assert str(out[0].dtype) == "bfloat16"
+    assert float(out[0][0, 0]) == 0.5
+
+
+def test_streaming_decode_workers_order(stream_dir):
+    """The decode-ahead pool must preserve the exact stream order."""
+    a = StreamingFrameDataset(stream_dir, 44100, 128, 1024, shuffle=True,
+                              seed=5, decode_workers=0)
+    b = StreamingFrameDataset(stream_dir, 44100, 128, 1024, shuffle=True,
+                              seed=5, decode_workers=3)
+    for x, y in zip(itertools.islice(a.batches(16), 12),
+                    itertools.islice(b.batches(16), 12)):
+        np.testing.assert_array_equal(x, y)
