@@ -6,3 +6,4 @@ from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (  # noqa: F401
     pallas_decode,
     pallas_encode,
 )
+from rawaudiovae_kelsey_tpu.ops.rng import pallas_reparameterize  # noqa: F401

@@ -1,0 +1,95 @@
+"""Pallas on-chip Gaussian sampling for the reparameterization step.
+
+The XLA path samples ``eps ~ N(0, I)`` with ``jax.random.normal`` (threefry)
+— that is the framework default and the reproducibility contract.  This
+module provides the Pallas-native alternative from the SURVEY.md §7 kernel
+plan: the TPU per-core PRNG (``pltpu.prng_seed`` / ``prng_random_bits``)
+feeding a Box-Muller transform, fused with ``z = mu + eps·exp(0.5·logvar)``
+in one VMEM pass — no HBM round-trip for eps at all.
+
+Numerics: uniforms are built by bit-packing 23 random mantissa bits into
+[1, 2) and shifting to (0, 1], so ``log`` never sees 0.  The stream differs
+from threefry (documented; parity tests are statistical), but is
+deterministic per (seed, grid position).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
+    DEFAULT_BLOCK_B,
+    _interpret,
+    _pad_batch,
+    _tile,
+)
+
+
+def _bits_to_unit_open(bits: jax.Array) -> jax.Array:
+    """uint32 → float32 in (0, 1]: pack 23 bits into the mantissa of
+    [1, 2), subtract to [0, 1), then flip to (0, 1]."""
+    mantissa = jnp.bitwise_and(bits, jnp.uint32(0x007FFFFF))
+    one_to_two = pltpu.bitcast(
+        jnp.bitwise_or(mantissa, jnp.uint32(0x3F800000)), jnp.float32
+    )
+    return 2.0 - one_to_two  # (0, 1]
+
+
+def _reparam_kernel(seed_ref, mu_ref, logvar_ref, z_ref):
+    # distinct stream per batch tile
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    shape = mu_ref.shape
+    u1 = _bits_to_unit_open(
+        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    )
+    u2 = _bits_to_unit_open(
+        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    )
+    # Box-Muller
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    eps = r * jnp.cos(2.0 * jnp.pi * u2)
+    mu = mu_ref[:].astype(jnp.float32)
+    std = jnp.exp(0.5 * logvar_ref[:].astype(jnp.float32))
+    z_ref[:] = (mu + eps * std).astype(z_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b",))
+def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
+    """On-chip ``z = mu + eps·exp(0.5·logvar)`` with TPU-PRNG Gaussian eps.
+
+    ``seed``: int32 scalar (fold your step counter in on the host side).
+    Off-TPU the TPU PRNG primitives have no interpreter support, so a
+    threefry-based Box-Muller with the same shape contract runs instead
+    (the sampling stream is platform-specific either way).
+    """
+    if _interpret():
+        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+        u1 = jax.random.uniform(key, mu.shape, jnp.float32,
+                                minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+        u2 = jax.random.uniform(jax.random.fold_in(key, 1), mu.shape)
+        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+        return (mu.astype(jnp.float32)
+                + eps * jnp.exp(0.5 * logvar.astype(jnp.float32))
+                ).astype(mu.dtype)
+    mu2, n = _pad_batch(mu, block_b)
+    logvar2, _ = _pad_batch(logvar, block_b)
+    B, latent = mu2.shape
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    z = pl.pallas_call(
+        _reparam_kernel,
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _tile(block_b, latent),
+            _tile(block_b, latent),
+        ],
+        out_specs=_tile(block_b, latent),
+        out_shape=jax.ShapeDtypeStruct((B, latent), mu.dtype),
+        interpret=_interpret(),
+    )(seed_arr, mu2, logvar2)
+    return z[:n]

@@ -48,8 +48,13 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     # eager ingest (train.py:113-130)
     if verbose:
         print("creating the dataset...")
+    from rawaudiovae_kelsey_tpu.data.validate import check_before_training
     from rawaudiovae_kelsey_tpu.parallel.mesh import host_shard_info
 
+    check_before_training(
+        datapath_audio_dir(cfg), cfg.audio.sampling_rate,
+        cfg.dataset.check_dataset, cfg.dataset.check_audio,
+    )
     host_id, num_hosts = host_shard_info()
     corpus, n_samples = build_corpus(
         datapath_audio_dir(cfg), cfg.audio.sampling_rate,

@@ -53,8 +53,13 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         )
     print(f"Total number of batches: {total_num_batches}")
 
+    from rawaudiovae_kelsey_tpu.data.validate import check_before_training
     from rawaudiovae_kelsey_tpu.parallel.mesh import host_shard_info
 
+    check_before_training(
+        cfg.dataset.datapath_path / "audio", cfg.audio.sampling_rate,
+        cfg.dataset.check_dataset, cfg.dataset.check_audio,
+    )
     host_id, num_hosts = host_shard_info()
     dataset = StreamingFrameDataset(
         cfg.dataset.datapath_path / "audio",

@@ -189,3 +189,31 @@ def test_streaming_decode_workers_order(stream_dir):
     for x, y in zip(itertools.islice(a.batches(16), 12),
                     itertools.islice(b.batches(16), 12)):
         np.testing.assert_array_equal(x, y)
+
+
+def test_validate_dataset(tmp_path):
+    """check_dataset/check_audio keys are functional (quirk #9 upgrade)."""
+    from rawaudiovae_kelsey_tpu.data.validate import (
+        check_before_training,
+        validate_dataset,
+    )
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    write_wav(d / "ok.wav", np.full(4410, 0.3, np.float32), 44100)
+    write_wav(d / "other_rate.wav", np.full(4800, 0.3, np.float32), 48000)
+    write_wav(d / "silent.wav", np.zeros(1000, np.float32), 44100)
+    write_wav(d / "clipped.wav", np.ones(1000, np.float32), 44100)
+    (d / "corrupt.wav").write_bytes(b"RIFFjunkWAVEjunk")
+
+    rep = validate_dataset(d, 44100, deep=True)
+    assert rep.n_files == 5
+    assert rep.corrupt == ["corrupt.wav"]
+    assert rep.resample_needed == ["other_rate.wav"]
+    assert rep.silent == ["silent.wav"]
+    assert rep.clipped == ["clipped.wav"]
+    assert not rep.ok
+    with pytest.raises(ValueError, match="corrupt"):
+        check_before_training(d, 44100, True, False)
+    # disabled flags skip entirely
+    check_before_training(d, 44100, False, False)

@@ -159,3 +159,25 @@ def test_block_divisible_path(params):
     ref_mu, _ = vae.encode(params, x)
     np.testing.assert_allclose(np.asarray(mu), np.asarray(ref_mu),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_reparameterize_statistics():
+    """On-chip Box-Muller sampling: mean/std/shape/determinism (the stream
+    differs from threefry by design — tests are statistical)."""
+    from rawaudiovae_kelsey_tpu.ops import pallas_reparameterize
+
+    n, latent = 4096, 128
+    mu = jnp.full((n, latent), 2.0)
+    logvar = jnp.full((n, latent), np.log(0.25))  # std 0.5
+    z = np.asarray(pallas_reparameterize(7, mu, logvar))
+    assert z.shape == (n, latent)
+    assert float(z.mean()) == pytest.approx(2.0, abs=0.01)
+    assert float(z.std()) == pytest.approx(0.5, abs=0.01)
+    # deterministic per seed; different seeds differ
+    z2 = np.asarray(pallas_reparameterize(7, mu, logvar))
+    np.testing.assert_array_equal(z, z2)
+    z3 = np.asarray(pallas_reparameterize(8, mu, logvar))
+    assert not np.array_equal(z, z3)
+    # near-Gaussian tails: |z - mu| beyond 4 std is rare
+    frac_tail = float((np.abs(z - 2.0) > 2.0).mean())
+    assert frac_tail < 1e-3
