@@ -143,6 +143,10 @@ class TPUConfig:
     model_parallel: int = 1
     # Host-side prefetch depth for the device feed queue.
     prefetch: int = 2
+    # Rematerialize the forward pass in the backward (jax.checkpoint):
+    # trades ~1/3 more FLOPs for not storing activations — lets deep/wide
+    # variants train at batch sizes that would otherwise OOM HBM.
+    remat: bool = False
     # Dtype batches travel to the device in.  "bfloat16" halves host->device
     # bandwidth (PCIe/DCN/tunnel) at the cost of bf16-quantized loss targets;
     # only meaningful with precision=bfloat16.

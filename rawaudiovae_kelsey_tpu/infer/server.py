@@ -40,7 +40,7 @@ class _Request:
 class InferenceServer:
     def __init__(self, model: ModelDef, params, batch_size: int = 256,
                  max_wait_ms: float = 2.0, deterministic: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, quantize: bool = False):
         self.model = model
         self.params = params
         self.batch_size = batch_size
@@ -53,12 +53,24 @@ class InferenceServer:
         self._thread: Optional[threading.Thread] = None
 
         self._encode = jax.jit(lambda x: model.encode(params, x))
-        self._decode = jax.jit(lambda z: model.decode(params, z))
+        if quantize and model.name == "dense":
+            # int8 weight-only decoder (ops/quant.py): 4x less weight HBM
+            # traffic on the serving-critical decode path
+            from rawaudiovae_kelsey_tpu.ops.quant import (
+                quantize_decoder,
+                quantized_decoder_fwd,
+            )
+
+            qparams = quantize_decoder(params)
+            decode_fn = lambda z: quantized_decoder_fwd(qparams, z)  # noqa: E731
+        else:
+            decode_fn = lambda z: model.decode(params, z)  # noqa: E731
+        self._decode = jax.jit(decode_fn)
 
         def _reconstruct(key, x):
             mu, logvar = model.encode(params, x)
             z = reparameterize(key, mu, logvar, deterministic)
-            return model.decode(params, z)
+            return decode_fn(z)
 
         self._reconstruct = jax.jit(_reconstruct)
 

@@ -7,3 +7,9 @@ from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (  # noqa: F401
     pallas_encode,
 )
 from rawaudiovae_kelsey_tpu.ops.rng import pallas_reparameterize  # noqa: F401
+from rawaudiovae_kelsey_tpu.ops.quant import (  # noqa: F401
+    quantize_decoder,
+    quantize_weight,
+    quantized_decode_xla,
+    quantized_decoder_fwd,
+)

@@ -70,6 +70,8 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
         )
         return loss, (mse, kld)
 
+    if cfg.tpu.remat:
+        loss_fn = jax.checkpoint(loss_fn)
     return loss_fn
 
 

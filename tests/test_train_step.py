@@ -250,3 +250,19 @@ def test_mesh_model_parallel_dense():
         np.asarray(jax.device_get(s0.params["fc4"]["w"])),
         atol=1e-5,  # collective accumulation-order noise
     )
+
+
+def test_remat_matches_plain():
+    """jax.checkpoint rematerialization changes memory, not numerics."""
+    cfg_plain = small_cfg()
+    cfg_remat = small_cfg(remat=True)
+    batch = batch_of(cfg_plain)
+    outs = []
+    for cfg in (cfg_plain, cfg_remat):
+        model, opt, state = make_state(cfg, seed=6)
+        step = build_train_step(model, cfg, opt, donate=False)
+        state, m = step(state, batch)
+        outs.append((float(m["loss"]),
+                     np.asarray(jax.device_get(state.params["fc1"]["w"]))))
+    assert outs[0][0] == outs[1][0]
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
