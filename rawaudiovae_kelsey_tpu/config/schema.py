@@ -143,6 +143,11 @@ class TPUConfig:
     model_parallel: int = 1
     # Host-side prefetch depth for the device feed queue.
     prefetch: int = 2
+    # Reparameterization sampler: "threefry" (jax.random, reproducible
+    # across platforms — the default contract) or "tpu_prng" (the Pallas
+    # on-chip PRNG kernel, ops/rng.py: eps never touches HBM; stream is
+    # platform-specific).
+    rng: str = "threefry"
     # Rematerialize the forward pass in the backward (jax.checkpoint):
     # trades ~1/3 more FLOPs for not storing activations — lets deep/wide
     # variants train at batch sizes that would otherwise OOM HBM.
@@ -195,6 +200,8 @@ class Config:
             raise ValueError(f"unknown backend {self.tpu.backend!r}")
         if self.tpu.feed_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown feed_dtype {self.tpu.feed_dtype!r}")
+        if self.tpu.rng not in ("threefry", "tpu_prng"):
+            raise ValueError(f"unknown rng {self.tpu.rng!r}")
         if self.vae.arch not in ("dense", "deep", "conv1d"):
             raise ValueError(f"unknown arch {self.vae.arch!r}")
         if self.dataset.mono not in ("mean", "first"):

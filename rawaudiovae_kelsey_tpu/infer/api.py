@@ -179,3 +179,41 @@ def reconstruct(model: ModelDef, params, audio: np.ndarray,
     mu, logvar = encode_trajectory(model, params, audio, batch_size)
     z = sample_z(key, mu, logvar, deterministic)
     return decode_trajectory(model, params, z, batch_size)
+
+
+def encode_trajectory_sharded(model: ModelDef, params, audio: np.ndarray,
+                              mesh, batch_frames: int = 0,
+                              hop: Optional[int] = None
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Mesh-parallel batch encode of a long waveform.
+
+    The reference's "long sequence" story is framing (SURVEY.md §5.7):
+    minutes of audio become tens of thousands of independent frames, so the
+    context-parallel analog on TPU is sharding the frame axis over the mesh
+    ``data`` axis — every chip encodes its shard, no cross-chip dependencies.
+    Frames are padded to a device multiple and the pad is dropped on return.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
+
+    frames = frame_audio(np.asarray(audio, np.float32),
+                         model.segment_length, hop)
+    n = len(frames)
+    n_dev = mesh.devices.size
+    chunk = batch_frames or n
+    chunk += -chunk % n_dev
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    encode = jax.jit(lambda x: model.encode(params, x),
+                     in_shardings=sharding)
+    mus, lvs = [], []
+    for i in range(0, n, chunk):
+        part = frames[i:i + chunk]
+        pad = -len(part) % n_dev
+        if pad:
+            part = np.concatenate([part, part[:1].repeat(pad, 0)], axis=0)
+        mu, logvar = encode(jax.device_put(part, sharding))
+        keep = len(part) - pad
+        mus.append(np.asarray(jax.device_get(mu))[:keep])
+        lvs.append(np.asarray(jax.device_get(logvar))[:keep])
+    return np.concatenate(mus, axis=0), np.concatenate(lvs, axis=0)

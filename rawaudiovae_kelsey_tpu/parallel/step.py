@@ -48,6 +48,16 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
     kl_beta = cfg.vae.kl_beta
     reduction = cfg.training.loss_reduction.split()[0]
     bf16 = cfg.tpu.precision == "bfloat16"
+    tpu_prng = cfg.tpu.rng == "tpu_prng"
+
+    def sample(key, mu, logvar):
+        if tpu_prng:
+            from rawaudiovae_kelsey_tpu.ops.rng import pallas_reparameterize
+
+            # derive a scalar seed from the (folded) threefry key words
+            seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+            return pallas_reparameterize(seed, mu, logvar)
+        return model.reparameterize(key, mu, logvar)
 
     def loss_fn(params, key, batch):
         x = batch.reshape(-1, seg)
@@ -61,7 +71,7 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
         mu, logvar = model.encode(cparams, xin)
         mu = mu.astype(jnp.float32)
         logvar = logvar.astype(jnp.float32)
-        z = model.reparameterize(key, mu, logvar)
+        z = sample(key, mu, logvar)
         if bf16:
             z = z.astype(jnp.bfloat16)
         recon = model.decode(cparams, z).astype(jnp.float32)

@@ -89,3 +89,31 @@ def test_eval_cli_stochastic_differs(trained_run, capsys):
     main(["--run", str(trained_run), "--params", "last", "--seed", "2"])
     m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m1["recon_mse"] != m2["recon_mse"]  # different sampling keys
+
+
+def test_profiler_window_capture(tmp_path, trained_run=None):
+    """[tpu] profile_steps captures a jax.profiler trace during the epoch
+    loop (SURVEY §5.1 — the reference had no profiling at all)."""
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    (tmp_path / "audio").mkdir()
+    write_wav(tmp_path / "audio" / "t.wav",
+              np.full(6000, 0.2, np.float32), 44100)
+    cfg = Config()
+    cfg.dataset.datapath = str(tmp_path)
+    cfg.dataset.generate_test = False
+    cfg.audio.segment_length = 512
+    cfg.audio.hop_length = 128
+    cfg.vae.n_units = 32
+    cfg.vae.latent_dim = 8
+    cfg.training.batch_size = 16
+    cfg.training.epochs = 3
+    cfg.training.checkpoint_interval = 0
+    cfg.extra.description = "profrun"
+    cfg.tpu.profile_start = 1
+    cfg.tpu.profile_steps = 2
+    ctx = train(cfg, verbose=False)
+    profile_dir = ctx.workspace.log_dir / "profile"
+    assert profile_dir.is_dir()
+    # trace capture writes plugin artifacts under plugins/profile/<ts>/
+    assert list(profile_dir.rglob("*")), "empty profile dir"

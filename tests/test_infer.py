@@ -250,3 +250,20 @@ def test_server_not_started(model_and_params):
     srv = InferenceServer(model, params)
     with pytest.raises(RuntimeError, match="not started"):
         srv.encode(_audio())
+
+
+def test_encode_trajectory_sharded(model_and_params):
+    """Long-waveform encode sharded over the 8-device mesh equals the
+    single-device trajectory (SURVEY §5.7 context-parallel analog)."""
+    from rawaudiovae_kelsey_tpu.infer.api import encode_trajectory_sharded
+    from rawaudiovae_kelsey_tpu.parallel import make_mesh
+
+    model, params = model_and_params
+    audio = _audio(SEG * 37 + 100, seed=11)  # padded, non-divisible count
+    mesh = make_mesh()
+    mu_s, lv_s = encode_trajectory_sharded(model, params, audio, mesh,
+                                           batch_frames=16)
+    mu_r, lv_r = encode_trajectory(model, params, audio)
+    assert mu_s.shape == mu_r.shape
+    np.testing.assert_allclose(mu_s, mu_r, atol=1e-5)
+    np.testing.assert_allclose(lv_s, lv_r, atol=1e-5)

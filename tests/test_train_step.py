@@ -266,3 +266,21 @@ def test_remat_matches_plain():
                      np.asarray(jax.device_get(state.params["fc1"]["w"]))))
     assert outs[0][0] == outs[1][0]
     np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_tpu_prng_mode_trains():
+    """[tpu] rng = tpu_prng: on-chip sampling inside the step (threefry
+    fallback off-TPU); training still converges and is per-step
+    deterministic."""
+    cfg = small_cfg(rng="tpu_prng")
+    model, opt, state = make_state(cfg, seed=3)
+    step = build_train_step(model, cfg, opt, donate=False)
+    batch = batch_of(cfg)
+    s1, m1 = step(state, batch)
+    s2, m2 = step(state, batch)
+    assert float(m1["loss"]) == float(m2["loss"])
+    losses = []
+    for _ in range(60):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
