@@ -23,6 +23,7 @@ at inference too — quirk #13) with a deterministic z = mu switch.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -69,6 +70,18 @@ def _run_batched(fn, frames: np.ndarray, batch_size: int):
     return tuple(np.concatenate(parts, axis=0) for parts in zip(*outs))
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_encode(model: ModelDef):
+    """One persistent jitted executable per ModelDef — a fresh jit(lambda)
+    per call would retrace/recompile on every invocation."""
+    return jax.jit(lambda params, x: model.encode(params, x))
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_decode(model: ModelDef):
+    return jax.jit(lambda params, zz: model.decode(params, zz))
+
+
 def encode_trajectory(model: ModelDef, params, audio_or_frames: np.ndarray,
                       batch_size: int = 256,
                       hop: Optional[int] = None
@@ -77,7 +90,7 @@ def encode_trajectory(model: ModelDef, params, audio_or_frames: np.ndarray,
     frames = audio_or_frames
     if frames.ndim == 1:
         frames = frame_audio(frames, model.segment_length, hop)
-    encode = jax.jit(lambda x: model.encode(params, x))
+    encode = functools.partial(_jitted_encode(model), params)
     mu, logvar = _run_batched(encode, frames, batch_size)
     return mu, logvar
 
@@ -85,7 +98,7 @@ def encode_trajectory(model: ModelDef, params, audio_or_frames: np.ndarray,
 def decode_trajectory(model: ModelDef, params, z: np.ndarray,
                       batch_size: int = 256) -> np.ndarray:
     """Decode (N, latent) → (N, segment) frames."""
-    decode = jax.jit(lambda zz: model.decode(params, zz))
+    decode = functools.partial(_jitted_decode(model), params)
     (frames,) = _run_batched(decode, np.asarray(z, np.float32), batch_size)
     return frames
 

@@ -149,3 +149,25 @@ def test_orbax_roundtrip(cfg, tmp_path):
         np.asarray(jax.device_get(state.params["fc1"]["w"])),
     )
     assert int(jax.device_get(restored.step)) == 0
+
+
+def test_corrupted_checkpoint_rejected(cfg, tmp_path):
+    """A truncated/garbage npz raises a clean error, not a crash."""
+    model, opt, state = _mk(cfg)
+    p = save_checkpoint(tmp_path, state)
+    p.write_bytes(p.read_bytes()[: p.stat().st_size // 3])
+    _, _, template = _mk(cfg)
+    with pytest.raises(Exception) as exc:
+        restore_checkpoint(p, template)
+    assert not isinstance(exc.value, (SystemExit, KeyboardInterrupt))
+
+
+def test_missing_meta_sidecar_ok(cfg, tmp_path):
+    """The json sidecar is optional (meta defaults to {})."""
+    model, opt, state = _mk(cfg)
+    p = save_checkpoint(tmp_path, state, {"epoch": 1})
+    p.with_suffix(".json").unlink()
+    _, _, template = _mk(cfg)
+    restored, meta = restore_checkpoint(p, template)
+    assert meta == {}
+    assert int(jax.device_get(restored.step)) == 0
