@@ -143,6 +143,12 @@ class TPUConfig:
     model_parallel: int = 1
     # Host-side prefetch depth for the device feed queue.
     prefetch: int = 2
+    # Device-resident corpus mode for the epoch trainer: upload the raw
+    # sample array once and run whole epochs on-chip (shuffle + gather-
+    # framing + every step inside one jit; zero per-step host transfers).
+    # "auto" uses it when the corpus fits resident_budget_gb.
+    device_resident: str = "auto"     # auto | always | never
+    resident_budget_gb: float = 4.0
     # Reparameterization sampler: "threefry" (jax.random, reproducible
     # across platforms — the default contract) or "tpu_prng" (the Pallas
     # on-chip PRNG kernel, ops/rng.py: eps never touches HBM; stream is
@@ -202,6 +208,10 @@ class Config:
             raise ValueError(f"unknown feed_dtype {self.tpu.feed_dtype!r}")
         if self.tpu.rng not in ("threefry", "tpu_prng"):
             raise ValueError(f"unknown rng {self.tpu.rng!r}")
+        if self.tpu.device_resident not in ("auto", "always", "never"):
+            raise ValueError(
+                f"unknown device_resident {self.tpu.device_resident!r}"
+            )
         if self.vae.arch not in ("dense", "deep", "conv1d"):
             raise ValueError(f"unknown arch {self.vae.arch!r}")
         if self.dataset.mono not in ("mean", "first"):

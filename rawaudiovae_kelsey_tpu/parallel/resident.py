@@ -1,0 +1,136 @@
+"""Device-resident corpus training: the whole epoch on-chip.
+
+The reference moved every batch host→device inside the hot loop
+(``data.to(device)``, train.py:182) — and so does our host-fed path when the
+corpus is large.  But raw audio is tiny by TPU standards, so when it fits we:
+
+  1. upload the training data ONCE, in one of two layouts:
+       * ``frames`` — the materialized overlapping-frame matrix
+         (``seg/hop ×`` more HBM, e.g. 8× at 1024/128).  Per-step batch
+         assembly is a contiguous row gather: **2.3 ms** per (4096, 1024)
+         batch on v5e;
+       * ``corpus`` — the raw 1-D sample array (1× HBM).  Batch assembly is
+         a vmapped ``dynamic_slice`` of 1024-sample runs: 4.2 ms.  (A naive
+         2-D index gather costs 34 ms — scattered-offset gathers are the
+         slowest thing a TPU does; measured, see docs/PERF.md);
+  2. run an ENTIRE epoch inside one jitted call: per-epoch frame permutation
+     from the threefry key, on-chip batch assembly, ``lax.scan`` over all
+     optimizer steps;
+  3. return the final state plus the per-batch loss vector.
+
+Host↔device traffic per epoch: one loss-vector fetch.  The last partial
+batch is dropped (``drop_last`` semantics — the host-fed path keeps it;
+divergence documented in DIVERGENCES.md).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rawaudiovae_kelsey_tpu.config.schema import Config
+from rawaudiovae_kelsey_tpu.data.framing import (
+    overlapping_frame_count,
+    overlapping_frames,
+)
+from rawaudiovae_kelsey_tpu.models.registry import ModelDef
+from rawaudiovae_kelsey_tpu.parallel.step import (
+    _matmul_precision,
+    make_loss_fn,
+)
+from rawaudiovae_kelsey_tpu.train.state import TrainState
+
+
+def choose_layout(n_samples: int, seg: int, hop: int, dtype_bytes: int,
+                  budget_bytes: int) -> str | None:
+    """"frames" if the 8× matrix fits the budget, else "corpus" if the raw
+    samples fit, else None (fall back to host-fed batches)."""
+    n_frames = max(0, overlapping_frame_count(n_samples, seg, hop))
+    if n_frames * seg * dtype_bytes <= budget_bytes:
+        return "frames"
+    if n_samples * dtype_bytes <= budget_bytes:
+        return "corpus"
+    return None
+
+
+def put_resident(corpus: np.ndarray, cfg: Config, layout: str) -> jax.Array:
+    """One-time upload in the chosen layout; bf16 when the compute precision
+    is bf16 (halves HBM) else fp32."""
+    dtype = jnp.bfloat16 if cfg.tpu.precision == "bfloat16" else jnp.float32
+    if layout == "frames":
+        frames = overlapping_frames(
+            np.asarray(corpus, np.float32),
+            cfg.audio.segment_length, cfg.audio.hop_length,
+        )
+        return jax.device_put(jnp.asarray(frames, dtype))
+    return jax.device_put(jnp.asarray(corpus, dtype))
+
+
+def build_resident_epoch(
+    model: ModelDef,
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    n_samples: int,
+    layout: str = "frames",
+) -> Tuple[Callable, int]:
+    """Returns ``(run_epoch, n_batches)`` where
+    ``run_epoch(state, data, epoch) -> (state', losses[n_batches])`` is one
+    compiled call covering the full epoch.  ``data`` is the array from
+    :func:`put_resident` in the matching layout."""
+    seg = model.segment_length
+    hop = cfg.audio.hop_length
+    batch = cfg.training.batch_size
+    n_frames = max(0, overlapping_frame_count(n_samples, seg, hop))
+    n_batches = n_frames // batch
+    if n_batches == 0:
+        raise ValueError(
+            f"corpus has {n_frames} frames < one batch of {batch}"
+        )
+    loss_fn = make_loss_fn(model, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    prec = _matmul_precision(cfg.tpu.precision)
+
+    if layout == "frames":
+        def assemble(data, starts):
+            return data[starts]                       # contiguous row gather
+    else:
+        def assemble(data, starts):
+            def one(s):
+                return jax.lax.dynamic_slice(data, (s * hop,), (seg,))
+            return jax.vmap(one)(starts)              # 1024-sample runs
+
+    def run_epoch(state: TrainState, data: jax.Array, epoch):
+        with jax.default_matmul_precision(prec):
+            perm_key = jax.random.fold_in(
+                jax.random.fold_in(state.rng, 0x5EED), epoch
+            )
+            perm = jax.random.permutation(perm_key, n_frames)[
+                : n_batches * batch
+            ].reshape(n_batches, batch)
+
+            def body(state, starts):
+                xb = assemble(data, starts)
+                key = jax.random.fold_in(state.rng, state.step)
+                (loss, (mse, kld)), grads = grad_fn(state.params, key, xb)
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32), grads
+                )
+                updates, opt_state = optimizer.update(
+                    grads, state.opt_state, state.params
+                )
+                new_state = TrainState(
+                    params=optax.apply_updates(state.params, updates),
+                    opt_state=opt_state,
+                    rng=state.rng,
+                    step=state.step + 1,
+                )
+                return new_state, loss
+
+            state, losses = jax.lax.scan(body, state, perm)
+            return state, losses
+
+    return jax.jit(run_epoch, donate_argnums=(0,)), n_batches

@@ -35,7 +35,9 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
     if not datapath.exists():
         raise FileNotFoundError(datapath.resolve())
 
-    ctx = L.setup(cfg)
+    # device_resident="always" runs the on-chip epoch loop, which is
+    # single-device — skip mesh setup in that case
+    ctx = L.setup(cfg, use_mesh=cfg.tpu.device_resident != "always")
     try:
         with GracefulInterrupt() as stop:
             return _run(ctx, cfg, verbose, stop)
@@ -71,6 +73,24 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         cfg.audio.sampling_rate,
     )
     batch_size = cfg.training.batch_size
+
+    # device-resident fast path: whole epochs on-chip when the raw corpus
+    # fits HBM (single-device / replicated only)
+    from rawaudiovae_kelsey_tpu.parallel import resident as R
+
+    dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
+    budget = int(cfg.tpu.resident_budget_gb * (1 << 30))
+    layout = R.choose_layout(n_samples, cfg.audio.segment_length,
+                             cfg.audio.hop_length, dtype_bytes, budget)
+    use_resident = (
+        ctx.mesh is None
+        and cfg.tpu.device_resident != "never"
+        and layout is not None
+    )
+    if use_resident and len(dataset) >= batch_size:
+        return _run_resident(ctx, cfg, verbose, stop, corpus, n_samples,
+                             len(dataset), layout)
+
     n_batches = dataset.num_batches(batch_size)
     sharding = batch_sharding(ctx.mesh) if ctx.mesh is not None else None
 
@@ -144,7 +164,8 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         )
         ctx.writer.add_scalar("Loss/train_total", train_loss, epoch)
         ctx.writer.add_scalar("Loss/train_average", avg, epoch)
-        L.log_param_histograms(ctx, epoch)
+        if epoch % max(1, cfg.tpu.histogram_interval or 1) == 0:
+            L.log_param_histograms(ctx, epoch)
 
         if interval and epoch % interval == 0 and epoch != 0:
             print(f"Checkpoint - Epoch {epoch}")
@@ -157,6 +178,81 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     if profiling:
         jax.profiler.stop_trace()
     # post-loop finalization (train.py:254-307)
+    final_epoch = max(epochs - 1, 0)
+    print(f"Last Checkpoint - Epoch {final_epoch}")
+    if cfg.dataset.generate_test:
+        L.reconstruct_test_set(ctx, epochs)
+    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)
+    if np.isfinite(train_loss):
+        L.maybe_save_best(ctx, train_loss, epochs,
+                          cfg.training.save_best_model_after)
+    L.save_last(ctx)
+    return ctx
+
+
+def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
+                  corpus: np.ndarray, n_samples: int,
+                  dataset_len: int, layout: str = "frames") -> L.TrainContext:
+    """Device-resident epoch loop: one jitted call per epoch
+    (parallel/resident.py); checkpoints/TB/reconstruction between epochs."""
+    from rawaudiovae_kelsey_tpu.parallel import resident as R
+    from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
+
+    optimizer = build_optimizer(cfg)
+    run_epoch, n_batches = R.build_resident_epoch(
+        ctx.model, cfg, optimizer, n_samples, layout=layout
+    )
+    dev_corpus = R.put_resident(corpus, cfg, layout)
+    print(f"Device-resident corpus ({layout} layout): {n_samples:,} samples "
+          f"({dev_corpus.nbytes / 1e6:,.0f} MB on device), "
+          f"{n_batches} batches/epoch in one compiled call")
+
+    batch_size = cfg.training.batch_size
+    epochs = cfg.training.epochs
+    interval = cfg.training.checkpoint_interval
+    lr = cfg.training.learning_rate
+    train_loss = float("inf")
+    start_epoch = min(ctx.start_step // max(n_batches, 1), epochs)
+    if start_epoch:
+        print(f"Resuming at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, epochs):
+        if verbose:
+            print(f"Epoch {epoch}/{epochs - 1}")
+            print("-" * 10)
+        ctx.timer.start()
+        ctx.state, dev_losses = run_epoch(ctx.state, dev_corpus, epoch)
+        losses = np.asarray(jax.device_get(dev_losses), np.float64)
+        epoch_s = ctx.timer.stop()
+
+        train_loss = float(losses.sum())
+        for i, l in enumerate(losses):
+            gstep = epoch * n_batches + i
+            ctx.writer.add_scalar("Loss/Batch", float(l), gstep)
+            ctx.writer.add_scalar("Learning Rate", lr, gstep)
+        avg = train_loss / max(dataset_len, 1)
+        print(
+            f"====> Epoch: {epoch} - Total loss: {train_loss} - "
+            f"Average loss: {avg:.9f} "
+            f"({n_batches * batch_size / max(epoch_s, 1e-9):,.0f} frames/s)"
+        )
+        ctx.writer.add_scalar("Loss/train_total", train_loss, epoch)
+        ctx.writer.add_scalar("Loss/train_average", avg, epoch)
+        if epoch % max(1, cfg.tpu.histogram_interval or 1) == 0:
+            L.log_param_histograms(ctx, epoch)
+
+        if stop:
+            print(f"Interrupted after epoch {epoch}; checkpointing.")
+            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
+            return ctx
+        if interval and epoch % interval == 0 and epoch != 0:
+            print(f"Checkpoint - Epoch {epoch}")
+            if cfg.dataset.generate_test:
+                L.reconstruct_test_set(ctx, epoch)
+            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
+            L.maybe_save_best(ctx, train_loss, epoch,
+                              cfg.training.save_best_model_after)
+
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")
     if cfg.dataset.generate_test:

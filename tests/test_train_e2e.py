@@ -151,3 +151,48 @@ def test_stream_trainer_resume(scratch_dataset):
     txt = ctx2.workspace.console_log_path.read_text()
     assert int(ctx2.start_step) == 10
     assert (ctx2.workspace.checkpoint_dir / "ckpt_00020.npz").exists()
+
+
+def test_epoch_trainer_device_resident(scratch_dataset):
+    """Device-resident mode: whole epochs in one jitted call; same workspace
+    contract, loss decreases across epochs."""
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.training.epochs = 4
+    ctx = train(cfg, verbose=False)
+    ws = ctx.workspace
+    assert (ws.model_dir / "last_model.npz").exists()
+    assert (ws.checkpoint_dir / "ckpt_00004.npz").exists()
+    assert list(ws.audio_log_dir.glob("test_reconst_*.wav"))
+    # read Loss/train_total per epoch back from the TB event file and check
+    # the curve went down
+    import glob
+
+    tb = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_file_loader"
+    )
+    (f,) = glob.glob(str(ws.log_dir / "events.out.tfevents.*"))
+    totals = {}
+    for e in tb.LegacyEventFileLoader(f).Load():
+        for v in e.summary.value:
+            if v.tag == "Loss/train_total":
+                totals[e.step] = v.simple_value
+    assert len(totals) == 4
+    assert totals[3] < totals[0]
+
+
+def test_resident_corpus_layout(scratch_dataset):
+    """The 1x-memory corpus layout (dynamic-slice assembly) also trains."""
+    from rawaudiovae_kelsey_tpu.parallel.resident import choose_layout
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    # budget too small for the frames matrix but enough for raw samples
+    cfg.tpu.resident_budget_gb = 100e3 / (1 << 30)
+    assert choose_layout(15000, 512, 128, 4, int(100e3)) == "corpus"
+    cfg.training.epochs = 2
+    ctx = train(cfg, verbose=False)
+    assert (ctx.workspace.model_dir / "last_model.npz").exists()
