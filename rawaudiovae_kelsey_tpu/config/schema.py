@@ -169,8 +169,9 @@ class TPUConfig:
     seed: int = 0
     # Deterministic inference (z = mu, no sampling) — quirk #13 extension.
     deterministic_inference: bool = False
-    # Checkpoint format: "orbax" | "msgpack".
-    checkpoint_format: str = "msgpack"
+    # Checkpoint format: "npz" (flat pytree leaves + json sidecar) |
+    # "orbax" (sharded, multi-host friendly).
+    checkpoint_format: str = "npz"
     # Multi-host (DCN): initialize jax.distributed at driver start.  On TPU
     # pods the coordinator/process info comes from the environment.
     multihost: bool = False
@@ -208,6 +209,10 @@ class Config:
             raise ValueError(f"unknown feed_dtype {self.tpu.feed_dtype!r}")
         if self.tpu.rng not in ("threefry", "tpu_prng"):
             raise ValueError(f"unknown rng {self.tpu.rng!r}")
+        if self.tpu.checkpoint_format not in ("npz", "orbax"):
+            raise ValueError(
+                f"unknown checkpoint_format {self.tpu.checkpoint_format!r}"
+            )
         if self.tpu.device_resident not in ("auto", "always", "never"):
             raise ValueError(
                 f"unknown device_resident {self.tpu.device_resident!r}"

@@ -34,6 +34,30 @@ import numpy as np
 from rawaudiovae_kelsey_tpu.train.state import TrainState
 
 _CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
+_ORBAX_RE = re.compile(r"orbax_(\d+)$")
+
+
+def _write_meta(meta_path: Path, extra: Optional[Dict[str, Any]],
+                step: int) -> None:
+    """Atomic sidecar write (tmp+rename), coordinator process only — a torn
+    meta.json would brick resume, and in multihost every process would race
+    on the same file."""
+    if jax.process_index() != 0:
+        return
+    meta = dict(extra or {})
+    meta["step"] = step
+    tmp = meta_path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(meta))
+    tmp.rename(meta_path)
+
+
+def _read_meta(meta_path: Path) -> Dict[str, Any]:
+    """Sidecar read that tolerates a missing or torn file (resume must not
+    brick on metadata)."""
+    try:
+        return json.loads(meta_path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def _flatten_with_meta(tree: Any) -> Tuple[Dict[str, np.ndarray], Any]:
@@ -61,17 +85,19 @@ def save_checkpoint(ckpt_dir: Path, state: TrainState,
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
     tmp.rename(path)  # atomic so a crash never leaves a torn checkpoint
-    meta = dict(extra or {})
-    meta["step"] = step
-    path.with_suffix(".json").write_text(json.dumps(meta))
+    _write_meta(path.with_suffix(".json"), extra, step)
     return path
 
 
 def restore_checkpoint(path: Path, template: TrainState
                        ) -> Tuple[TrainState, Dict[str, Any]]:
     """Restore into the structure of ``template`` (a freshly-initialized
-    state with the right treedef/shapes)."""
+    state with the right treedef/shapes).  Accepts both npz files and orbax
+    directories."""
     path = Path(path)
+    if path.is_dir():
+        state = restore_checkpoint_orbax(path, template)
+        return state, _read_meta(path / "meta.json")
     with np.load(path) as npz:
         leaves = [npz[k] for k in sorted(npz.files)]
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
@@ -85,18 +111,19 @@ def restore_checkpoint(path: Path, template: TrainState
                 f"{path}: leaf shape {got.shape} != template {np.shape(want)}"
             )
     state = jax.tree_util.tree_unflatten(treedef, leaves)
-    meta_path = path.with_suffix(".json")
-    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
-    return state, meta
+    return state, _read_meta(path.with_suffix(".json"))
 
 
 def latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
+    """Newest checkpoint in a dir — npz files and orbax dirs both count."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.is_dir():
         return None
     best: Tuple[int, Optional[Path]] = (-1, None)
     for p in ckpt_dir.iterdir():
         m = _CKPT_RE.search(p.name)
+        if m is None and p.is_dir():
+            m = _ORBAX_RE.match(p.name)
         if m:
             step = int(m.group(1))
             if step > best[0]:
@@ -123,13 +150,20 @@ def load_params(path: Path, template: Any) -> Any:
 
 # ---------------------------------------------------------------- orbax -----
 
-def save_checkpoint_orbax(ckpt_dir: Path, state: TrainState) -> Path:
+def save_checkpoint_orbax(ckpt_dir: Path, state: TrainState,
+                          extra: Optional[Dict[str, Any]] = None,
+                          label: Optional[int] = None) -> Path:
     import orbax.checkpoint as ocp
 
     step = int(jax.device_get(state.step))
-    path = Path(ckpt_dir).resolve() / f"orbax_{step:05d}"
+    if label is None:
+        label = step
+    path = Path(ckpt_dir).resolve() / f"orbax_{label:05d}"
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state))
+        # hand orbax the jax.Arrays directly: device_get would crash on
+        # non-fully-addressable multi-host arrays and forfeit sharded saving
+        ckptr.save(path, state)
+    _write_meta(path / "meta.json", extra, step)
     return path
 
 

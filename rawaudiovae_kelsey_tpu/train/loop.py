@@ -208,6 +208,10 @@ def save_periodic_checkpoint(ctx: TrainContext, extra: dict,
                              label: int | None = None) -> Path:
     extra = dict(extra)
     extra["best_loss"] = ctx.best_loss
+    if ctx.cfg.tpu.checkpoint_format == "orbax":
+        return ckpt.save_checkpoint_orbax(
+            ctx.workspace.checkpoint_dir, ctx.state, extra, label=label
+        )
     return ckpt.save_checkpoint(
         ctx.workspace.checkpoint_dir, ctx.state, extra, label=label
     )

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.config import Config  # noqa: F401
 from rawaudiovae_kelsey_tpu.models import build_model
 from rawaudiovae_kelsey_tpu.parallel import build_train_step
 from rawaudiovae_kelsey_tpu.train import (
@@ -171,3 +171,32 @@ def test_missing_meta_sidecar_ok(cfg, tmp_path):
     restored, meta = restore_checkpoint(p, template)
     assert meta == {}
     assert int(jax.device_get(restored.step)) == 0
+
+
+def test_orbax_driver_roundtrip(cfg, tmp_path):
+    """checkpoint_format=orbax flows through the ACTUAL driver dispatch
+    (save_periodic_checkpoint) then latest/restore."""
+    pytest.importorskip("orbax.checkpoint")
+    from types import SimpleNamespace
+
+    from rawaudiovae_kelsey_tpu.config.workspace import Workspace
+    from rawaudiovae_kelsey_tpu.train.loop import save_periodic_checkpoint
+
+    cfg.tpu.checkpoint_format = "orbax"
+    model, opt, state = _mk(cfg, seed=8)
+    ws = Workspace(tmp_path)
+    ctx = SimpleNamespace(cfg=cfg, state=state, workspace=ws, best_loss=0.25)
+    p = save_periodic_checkpoint(ctx, {"epoch": 4}, label=4)
+    assert p.is_dir() and p.name == "orbax_00004"
+    assert latest_checkpoint(ws.checkpoint_dir) == p
+    _, _, template = _mk(cfg, seed=1)
+    restored, meta = restore_checkpoint(p, template)
+    assert meta["epoch"] == 4 and meta["best_loss"] == 0.25
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(restored.params["fc1"]["w"])),
+        np.asarray(jax.device_get(state.params["fc1"]["w"])),
+    )
+    # torn meta.json doesn't brick resume
+    (p / "meta.json").write_text("{tor")
+    _, meta2 = restore_checkpoint(p, _mk(cfg, seed=2)[2])
+    assert meta2 == {}
