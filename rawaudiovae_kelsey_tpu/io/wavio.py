@@ -86,6 +86,11 @@ def _parse_fmt(body: bytes, path) -> Tuple[int, int, int, int]:
 
 
 def _decode_payload(payload: bytes, tag: int, bits: int, path) -> np.ndarray:
+    # tolerate truncated files: drop a partial trailing sample rather than
+    # crashing in frombuffer ("buffer size must be a multiple of element size")
+    item = max(1, bits // 8)
+    if len(payload) % item:
+        payload = payload[: len(payload) - len(payload) % item]
     if tag == WAVE_FORMAT_PCM:
         if bits == 8:
             x = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
@@ -111,7 +116,9 @@ def _decode_payload(payload: bytes, tag: int, bits: int, path) -> np.ndarray:
         if bits == 32:
             return np.frombuffer(payload, dtype="<f4").astype(np.float32)
         if bits == 64:
-            return np.frombuffer(payload, dtype="<f8").astype(np.float32)
+            with np.errstate(over="ignore", invalid="ignore"):
+                x = np.frombuffer(payload, dtype="<f8").astype(np.float32)
+            return np.nan_to_num(x, posinf=1.0, neginf=-1.0)
         raise WavFormatError(f"{path}: unsupported float bit depth {bits}")
     raise WavFormatError(f"{path}: unsupported format tag 0x{tag:04x}")
 

@@ -267,3 +267,16 @@ def test_encode_trajectory_sharded(model_and_params):
     assert mu_s.shape == mu_r.shape
     np.testing.assert_allclose(mu_s, mu_r, atol=1e-5)
     np.testing.assert_allclose(lv_s, lv_r, atol=1e-5)
+
+
+def test_ola_roundtrip_of_overlapping_frames():
+    """Property: OLA of the overlapping frames of x reconstructs x exactly
+    in the fully-covered interior (identity through frame→OLA, no model)."""
+    seg, hop = 256, 64
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-0.9, 0.9, seg * 6).astype(np.float32)
+    frames = frame_audio(x, seg, hop)
+    y = overlap_add(frames, hop)
+    # interior: after the first (seg - hop) warmup samples windows fully cover
+    lo, hi = seg, len(x) - seg
+    np.testing.assert_allclose(y[lo:hi], x[lo:hi], atol=1e-5)

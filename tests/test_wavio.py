@@ -120,3 +120,45 @@ def test_load_contract(tmp_path):
     assert abs(len(wave) - 4410) <= 2
     # mean-mixdown: interior ≈ 0.2
     assert abs(float(np.median(wave)) - 0.2) < 1e-3
+
+
+def test_fuzz_decoder_only_raises_wavformaterror(tmp_path):
+    """Random and semi-structured garbage must decode or raise
+    WavFormatError — never a different exception type (the drivers' dataset
+    validator relies on this contract)."""
+    import struct
+
+    rng = np.random.default_rng(1)
+    p = tmp_path / "f.wav"
+    for trial in range(300):
+        tag = int(rng.choice([1, 3, 0xFFFE, 7]))
+        ch = int(rng.integers(0, 4))
+        bits = int(rng.choice([8, 16, 24, 32, 64, 12]))
+        fmt = struct.pack("<HHIIHH", tag, ch, 44100, 1, 1, bits)
+        if tag == 0xFFFE and trial % 2:
+            fmt += bytes(24)
+        payload = rng.integers(0, 256, int(rng.integers(0, 50)),
+                               dtype=np.uint8).tobytes()
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", int(rng.integers(0, 100)))
+        chunks += payload
+        riff = b"WAVE" + chunks
+        p.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+        try:
+            out, _ = read_wav(p)
+            # garbage float payloads may decode to NaN/inf — that's the
+            # dataset validator's job to flag, not the decoder's
+            assert out.dtype == np.float32
+        except WavFormatError:
+            pass
+
+
+def test_truncated_payload_drops_partial_sample(tmp_path):
+    wave = np.linspace(-0.5, 0.5, 100).astype(np.float32)
+    p = tmp_path / "t.wav"
+    write_wav(p, wave, 44100)
+    data = p.read_bytes()
+    p.write_bytes(data[:-2])  # cut mid-sample
+    out, sr = read_wav(p)
+    assert len(out) == 99
+    np.testing.assert_array_equal(out[:, 0], wave[:99])
