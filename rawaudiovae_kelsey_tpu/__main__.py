@@ -7,6 +7,7 @@ Commands:
   tutorial  the creative pipeline               (examples/tutorial.py)
   export    StableHLO + npz export              (examples/export.py)
   validate  dataset audit (check_dataset/check_audio)
+  serve     HTTP inference service (batched encode/decode/reconstruct)
 
 The reference-compatible forms ``python train.py --config x.ini`` and
 ``python train_iterable.py --config x.ini`` also work at the repo root.
@@ -35,6 +36,38 @@ def main() -> None:
         from rawaudiovae_kelsey_tpu.eval.cli import main as eval_main
 
         eval_main(rest)
+    elif cmd == "serve":
+        import argparse
+        from pathlib import Path
+
+        import jax
+
+        from rawaudiovae_kelsey_tpu.config import load_config
+        from rawaudiovae_kelsey_tpu.infer.http import HttpInferenceServer
+        from rawaudiovae_kelsey_tpu.models import build_model
+        from rawaudiovae_kelsey_tpu.train import load_params
+
+        ap = argparse.ArgumentParser(prog="serve")
+        ap.add_argument("--run", type=Path, required=True)
+        ap.add_argument("--config", type=Path, default=None)
+        ap.add_argument("--params", type=str, default="best")
+        ap.add_argument("--host", type=str, default="127.0.0.1")
+        ap.add_argument("--port", type=int, default=8422)
+        ap.add_argument("--batch-size", type=int, default=256)
+        ap.add_argument("--deterministic", action="store_true")
+        ap.add_argument("--quantize", action="store_true")
+        args = ap.parse_args(rest)
+        cfg = load_config(args.config or args.run / "config.ini")
+        model = build_model(cfg)
+        template = model.init(jax.random.PRNGKey(0))
+        params = load_params(
+            args.run / "model" / f"{args.params}_model.npz", template
+        )
+        HttpInferenceServer(
+            model, params, sampling_rate=cfg.audio.sampling_rate,
+            host=args.host, port=args.port, batch_size=args.batch_size,
+            deterministic=args.deterministic, quantize=args.quantize,
+        ).serve_forever()
     elif cmd in ("tutorial", "export"):
         import runpy
         from pathlib import Path

@@ -106,6 +106,9 @@ def load_config(path: Union[str, Path]) -> Config:
                     ftype, str
                 )
             setattr(dc, key, _coerce(raw, ftype, section, key))
+    # legacy alias: early snapshots named the npz format "msgpack"
+    if cfg.tpu.checkpoint_format == "msgpack":
+        cfg.tpu.checkpoint_format = "npz"
     cfg.validate()
     return cfg
 

@@ -26,3 +26,4 @@ from rawaudiovae_kelsey_tpu.infer.export import (  # noqa: F401
     make_forward_fn,
 )
 from rawaudiovae_kelsey_tpu.infer.server import InferenceServer  # noqa: F401
+from rawaudiovae_kelsey_tpu.infer.http import HttpInferenceServer  # noqa: F401

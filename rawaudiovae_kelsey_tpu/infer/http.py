@@ -1,0 +1,181 @@
+"""HTTP front-end for the batched inference service.
+
+Turns :class:`InferenceServer` (BASELINE config #5) into an actual network
+service with zero extra dependencies (stdlib ``http.server``, threading
+server so concurrent requests coalesce into device batches underneath).
+
+Endpoints (bodies are WAV bytes via our own codec unless noted):
+
+  GET  /healthz                    → {"status": "ok", model info}
+  POST /reconstruct[?hop=N&ola=1]  → wav in, resynthesized wav out
+  POST /encode[?hop=N]             → wav in, npz{mu, logvar} out
+  POST /decode                     → npz{z} in, wav of decoded frames out
+
+Run:  python -m rawaudiovae_kelsey_tpu serve --run <workdir> [--port 8422]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from rawaudiovae_kelsey_tpu.infer.server import InferenceServer
+from rawaudiovae_kelsey_tpu.io.wavio import (
+    WavFormatError,
+    read_wav,
+    to_mono,
+    write_wav,
+)
+
+
+def _wav_bytes(wave: np.ndarray, sr: int) -> bytes:
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        write_wav(tmp.name, wave, sr)
+        return Path(tmp.name).read_bytes()
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by serve(): the backing batched server + audio params
+    backend: InferenceServer = None
+    sampling_rate: int = 44100
+    request_timeout_s: float = 120.0
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    # ---------------------------------------------------------------- util --
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(length)
+
+    def _body_as_wave(self) -> np.ndarray:
+        data = self._read_body()
+        with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+            Path(tmp.name).write_bytes(data)
+            samples, _sr = read_wav(tmp.name)
+        return to_mono(samples, "mean")
+
+    # ------------------------------------------------------------ handlers --
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if urlparse(self.path).path == "/healthz":
+            m = self.backend.model
+            self._send_json(200, {
+                "status": "ok",
+                "model": m.name,
+                "segment_length": m.segment_length,
+                "latent_dim": m.latent_dim,
+                "sampling_rate": self.sampling_rate,
+            })
+        else:
+            self._send_json(404, {"error": "unknown path"})
+
+    def do_POST(self):  # noqa: N802
+        parsed = urlparse(self.path)
+        q = parse_qs(parsed.query)
+        hop = int(q["hop"][0]) if "hop" in q else None
+        ola = q.get("ola", ["0"])[0] in ("1", "true")
+        try:
+            if parsed.path == "/reconstruct":
+                wave = self._body_as_wave()
+                out = self.backend.reconstruct(wave, hop=hop, ola=ola).result(
+                    self.request_timeout_s
+                )
+                self._send(200, _wav_bytes(out, self.sampling_rate),
+                           "audio/wav")
+            elif parsed.path == "/encode":
+                wave = self._body_as_wave()
+                mu, logvar = self.backend.encode(wave, hop=hop).result(
+                    self.request_timeout_s
+                )
+                self._send(200, _npz_bytes(mu=mu, logvar=logvar),
+                           "application/octet-stream")
+            elif parsed.path == "/decode":
+                with np.load(io.BytesIO(self._read_body())) as npz:
+                    z = npz["z"]
+                frames = self.backend.decode(z).result(self.request_timeout_s)
+                self._send(200,
+                           _wav_bytes(frames.reshape(-1), self.sampling_rate),
+                           "audio/wav")
+            else:
+                self._send_json(404, {"error": "unknown path"})
+        except WavFormatError as e:
+            self._send_json(400, {"error": f"bad wav body: {e}"})
+        except KeyError as e:
+            self._send_json(400, {"error": f"missing array {e} in npz body"})
+        except Exception as e:  # noqa: BLE001
+            self._send_json(500, {"error": str(e)})
+
+
+class HttpInferenceServer:
+    """Owns the batched backend + the threading HTTP server."""
+
+    def __init__(self, model, params, sampling_rate: int = 44100,
+                 host: str = "127.0.0.1", port: int = 8422,
+                 batch_size: int = 256, deterministic: bool = False,
+                 quantize: bool = False):
+        self.backend = InferenceServer(
+            model, params, batch_size=batch_size,
+            deterministic=deterministic, quantize=quantize,
+        )
+        handler = type("BoundHandler", (_Handler,), {
+            "backend": self.backend,
+            "sampling_rate": sampling_rate,
+        })
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "HttpInferenceServer":
+        self.backend.start()
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.backend.stop()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def serve_forever(self) -> None:
+        self.backend.start()
+        print(f"serving on http://{self.httpd.server_address[0]}:{self.port}")
+        try:
+            self.httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
