@@ -138,3 +138,41 @@ def test_bad_npz_key_is_400(server):
 def test_unknown_path_is_404(server):
     status, _, _ = _post(server.port, "/nope", b"")
     assert status == 404
+
+
+def test_stress_mixed_kinds_no_races(server):
+    """SURVEY §5.2 (race detection — absent in the reference): hammer the
+    batched worker with interleaved request kinds from many threads; every
+    future must resolve with its own correct result."""
+    rng = np.random.default_rng(9)
+    backend = server.backend
+
+    def job(i):
+        kind = i % 3
+        if kind == 0:
+            wave = rng.uniform(-0.5, 0.5, SEG * 2).astype(np.float32)
+            mu, logvar = backend.encode(wave).result(120)
+            assert mu.shape == (2, LATENT)
+            return ("enc", mu)
+        if kind == 1:
+            z = np.full((3, LATENT), (i % 7) / 7.0, np.float32)
+            frames = backend.decode(z).result(120)
+            assert frames.shape == (3, SEG)
+            return ("dec", frames)
+        wave = np.full(SEG * 2, 0.1 * (i % 5), np.float32)
+        out = backend.reconstruct(wave).result(120)
+        assert out.shape == (SEG * 2,)
+        return ("rec", out)
+
+    with ThreadPoolExecutor(12) as pool:
+        results = list(pool.map(job, range(36)))
+    # identical decode inputs must give identical outputs (no cross-request
+    # contamination in the coalesced batches)
+    decs = {}
+    for i, (kind, out) in enumerate(results):
+        if kind == "dec":
+            key = i % 7
+            if key in decs:
+                np.testing.assert_array_equal(decs[key], out)
+            else:
+                decs[key] = out
