@@ -178,6 +178,12 @@ def reconstruct_test_set(ctx: TrainContext, step_label: int) -> np.ndarray:
                               jnp.asarray(batch))
         outs.append(np.asarray(jax.device_get(recon))[:n])
     wave = np.concatenate(outs, axis=0).reshape(-1)
+    if ctx.cfg.extra.normalize_examples:
+        # the reference's dead normalize_examples key (default.ini:35,
+        # quirk #9), made functional: peak-normalize written examples
+        peak = float(np.abs(wave).max())
+        if peak > 0:
+            wave = wave / peak
     out_path = ctx.audio_log_dir / f"test_reconst_{step_label:05d}.wav"
     write_wav(out_path, wave, ctx.cfg.audio.sampling_rate)
     print(f"Audio examples generated: {out_path}")

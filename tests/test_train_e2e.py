@@ -196,3 +196,19 @@ def test_resident_corpus_layout(scratch_dataset):
     cfg.training.epochs = 2
     ctx = train(cfg, verbose=False)
     assert (ctx.workspace.model_dir / "last_model.npz").exists()
+
+
+def test_normalize_examples(scratch_dataset):
+    """normalize_examples=True (dead in the reference, default.ini:35)
+    peak-normalizes written reconstructions."""
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.extra.normalize_examples = True
+    cfg.training.epochs = 2
+    cfg.training.checkpoint_interval = 0
+    ctx = train(cfg, verbose=False)
+    rec, _ = read_wav(
+        sorted(ctx.workspace.audio_log_dir.glob("test_reconst_*.wav"))[-1]
+    )
+    assert float(np.abs(rec).max()) == pytest.approx(1.0, abs=1e-5)
