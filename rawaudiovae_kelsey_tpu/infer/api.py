@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rawaudiovae_kelsey_tpu.data.datasets import TestFrameDataset
 from rawaudiovae_kelsey_tpu.data.framing import (
     nonoverlapping_frames,
     overlapping_frames,

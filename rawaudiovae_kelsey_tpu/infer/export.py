@@ -17,7 +17,6 @@ stochastic reparameterize + decode) at a fixed (1024,) input.  Here:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ attempts an on-demand build the first time if a compiler is available.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import Optional, Tuple

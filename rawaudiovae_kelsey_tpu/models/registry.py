@@ -9,12 +9,11 @@ inference API and Pallas kernel dispatch are variant-agnostic.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from rawaudiovae_kelsey_tpu.config.schema import Config
 from rawaudiovae_kelsey_tpu.models import vae, variants

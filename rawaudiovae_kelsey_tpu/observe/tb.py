@@ -185,7 +185,6 @@ class EventWriter:
         """audio: 1-D float waveform in [-1, 1] (the reference passed the
         flattened reconstruction, train.py:237)."""
         from rawaudiovae_kelsey_tpu.io.wavio import write_wav
-        import io as _io
         import tempfile, os
 
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
     DEFAULT_BLOCK_B,

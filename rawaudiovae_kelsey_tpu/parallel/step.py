@@ -20,8 +20,7 @@ step sequence (train.py:184-193) with ONE compiled, donated-buffer update:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from __future__ import annotations
 import itertools
 
 import jax
-import numpy as np
 
 from rawaudiovae_kelsey_tpu.config import Config
 from rawaudiovae_kelsey_tpu.data.datasets import StreamingFrameDataset
