@@ -178,7 +178,9 @@ def matmul_nt(a, w, block_b: int = DEFAULT_BLOCK_B):
 
 def _matmul_nt_mask_kernel(a_ref, w_ref, gate_ref, out_ref):
     prod = jnp.dot(a_ref[:], w_ref[:].T, preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.where(gate_ref[:] > 0, prod, 0.0).astype(out_ref.dtype)
+    # compare in f32: Mosaic rejects bf16 cmpf on this target
+    gate = gate_ref[:].astype(jnp.float32)
+    out_ref[:] = jnp.where(gate > 0.0, prod, 0.0).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
@@ -205,7 +207,8 @@ def _matmul_nt2_mask_kernel(a1_ref, w1_ref, a2_ref, w2_ref, gate_ref, out_ref):
         jnp.dot(a1_ref[:], w1_ref[:].T, preferred_element_type=jnp.float32)
         + jnp.dot(a2_ref[:], w2_ref[:].T, preferred_element_type=jnp.float32)
     )
-    out_ref[:] = jnp.where(gate_ref[:] > 0, prod, 0.0).astype(out_ref.dtype)
+    gate = gate_ref[:].astype(jnp.float32)
+    out_ref[:] = jnp.where(gate > 0.0, prod, 0.0).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
