@@ -15,3 +15,6 @@ from rawaudiovae_kelsey_tpu.parallel.step import (  # noqa: F401
     build_train_step,
     make_loss_fn,
 )
+from rawaudiovae_kelsey_tpu.parallel.spmd import (  # noqa: F401
+    build_shard_map_train_step,
+)

@@ -284,3 +284,35 @@ def test_tpu_prng_mode_trains():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_shard_map_step_matches_gspmd_semantics():
+    """Explicit-collective dp step (shard_map + pmean) trains equivalently
+    to the GSPMD-annotated step; params stay replicated bit-identically
+    across shards."""
+    from rawaudiovae_kelsey_tpu.parallel import build_shard_map_train_step
+
+    cfg = small_cfg()
+    model, opt, state = make_state(cfg, seed=11)
+    mesh = make_mesh()  # 8x1
+    step_sm = build_shard_map_train_step(model, cfg, opt, mesh, donate=False)
+    step_ref = build_train_step(model, cfg, opt, donate=False)
+
+    batch = batch_of(cfg, n=64, seed=12)
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    losses_sm, losses_ref = [], []
+    s_sm = TrainState.create(state.params, opt.init(state.params), seed=11)
+    s_ref = TrainState.create(state.params, opt.init(state.params), seed=11)
+    for _ in range(20):
+        s_sm, m_sm = step_sm(s_sm, sharded_batch)
+        s_ref, m_ref = step_ref(s_ref, batch)
+        losses_sm.append(float(m_sm["loss"]))
+        losses_ref.append(float(m_ref["loss"]))
+    # different eps partitioning → trajectories agree statistically, tightly
+    np.testing.assert_allclose(losses_sm, losses_ref, rtol=0.05)
+    assert losses_sm[-1] < losses_sm[0]
+    # replicated output state: every shard holds identical params
+    w = s_sm.params["fc1"]["w"]
+    shards = [np.asarray(si.data) for si in w.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
