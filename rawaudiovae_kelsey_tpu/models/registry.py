@@ -76,14 +76,22 @@ def build_model(cfg: Config) -> ModelDef:
 
     if arch == "deep":
         hidden = _parse_int_list(cfg.vae.hidden_dims, (4096, 2048, 1024, 512))
+        encode_fn, decode_fn = variants.encode_deep, variants.decode_deep
+        if cfg.tpu.backend == "pallas":
+            from rawaudiovae_kelsey_tpu.ops import (
+                deep_decode_pallas,
+                deep_encode_pallas,
+            )
+
+            encode_fn, decode_fn = deep_encode_pallas, deep_decode_pallas
         return ModelDef(
             name="deep",
             segment_length=seg,
             latent_dim=latent,
             init=partial(variants.init_deep, segment_length=seg,
                          hidden_dims=tuple(hidden), latent_dim=latent),
-            encode=variants.encode_deep,
-            decode=variants.decode_deep,
+            encode=encode_fn,
+            decode=decode_fn,
         )
 
     if arch == "conv1d":

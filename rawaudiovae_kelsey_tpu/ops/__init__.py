@@ -13,3 +13,9 @@ from rawaudiovae_kelsey_tpu.ops.quant import (  # noqa: F401
     quantized_decode_xla,
     quantized_decoder_fwd,
 )
+from rawaudiovae_kelsey_tpu.ops.pallas_linear import (  # noqa: F401
+    deep_decode_pallas,
+    deep_encode_pallas,
+    linear_fwd,
+    pallas_linear,
+)
