@@ -98,6 +98,18 @@ def build_model(cfg: Config) -> ModelDef:
         channels = _parse_int_list(cfg.vae.conv_channels, (32, 64, 128, 256))
         kernel, stride = cfg.vae.conv_kernel, cfg.vae.conv_stride
         width = variants.conv_latent_width(seg, len(channels), stride)
+        encode_fn = partial(variants.encode_conv1d, stride=stride)
+        decode_fn = partial(variants.decode_conv1d, stride=stride,
+                            width=width, channels=channels[-1])
+        if cfg.tpu.backend == "pallas":
+            from rawaudiovae_kelsey_tpu.ops import (
+                conv_decode_pallas,
+                conv_encode_pallas,
+            )
+
+            encode_fn = partial(conv_encode_pallas, stride=stride)
+            decode_fn = partial(conv_decode_pallas, stride=stride,
+                                width=width, channels=channels[-1])
         return ModelDef(
             name="conv1d",
             segment_length=seg,
@@ -105,9 +117,8 @@ def build_model(cfg: Config) -> ModelDef:
             init=partial(variants.init_conv1d, segment_length=seg,
                          channels=tuple(channels), kernel=kernel,
                          stride=stride, latent_dim=latent),
-            encode=partial(variants.encode_conv1d, stride=stride),
-            decode=partial(variants.decode_conv1d, stride=stride,
-                           width=width, channels=channels[-1]),
+            encode=encode_fn,
+            decode=decode_fn,
         )
 
     raise ValueError(f"unknown arch {arch!r}")

@@ -19,3 +19,9 @@ from rawaudiovae_kelsey_tpu.ops.pallas_linear import (  # noqa: F401
     linear_fwd,
     pallas_linear,
 )
+from rawaudiovae_kelsey_tpu.ops.pallas_conv import (  # noqa: F401
+    conv1d_pallas,
+    conv1d_transpose_pallas,
+    conv_decode_pallas,
+    conv_encode_pallas,
+)
