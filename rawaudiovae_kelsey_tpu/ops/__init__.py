@@ -25,3 +25,4 @@ from rawaudiovae_kelsey_tpu.ops.pallas_conv import (  # noqa: F401
     conv_decode_pallas,
     conv_encode_pallas,
 )
+from rawaudiovae_kelsey_tpu.ops.pallas_loss import pallas_loss  # noqa: F401

@@ -315,3 +315,34 @@ def test_conv1d_variant_pallas_backend():
     step = build_train_step(model_p, cfg_p, opt, donate=False)
     state, m = step(state, x)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_pallas_loss_parity_and_grads():
+    """Fused loss reduction vs models/vae.loss_fn: value + all four input
+    gradients, mean and sum reductions, non-block-multiple batch."""
+    from rawaudiovae_kelsey_tpu.ops import pallas_loss
+
+    rng = np.random.default_rng(0)
+    n = 200  # not a multiple of 128 → padding path
+    recon = jnp.asarray(rng.uniform(-1, 1, (n, SEG)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (n, SEG)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((n, LATENT)).astype(np.float32))
+    logvar = jnp.asarray(
+        (rng.standard_normal((n, LATENT)) * 0.3).astype(np.float32)
+    )
+    for reduction in ("mean", "sum"):
+        got = float(pallas_loss(recon, x, mu, logvar, 1e-4, reduction))
+        ref = float(vae.loss_fn(recon, x, mu, logvar, 1e-4, SEG, reduction))
+        assert got == pytest.approx(ref, rel=1e-6), reduction
+
+        gp = jax.grad(
+            lambda *a: pallas_loss(*a, 1e-4, reduction), argnums=(0, 2, 3)
+        )(recon, x, mu, logvar)
+        gr = jax.grad(
+            lambda *a: vae.loss_fn(*a, 1e-4, SEG, reduction),
+            argnums=(0, 2, 3),
+        )(recon, x, mu, logvar)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-5,
+                                       err_msg=reduction)
