@@ -29,7 +29,6 @@ from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
     _interpret,
     _pad_batch,
     _tile,
-    _whole,
 )
 
 
@@ -38,8 +37,9 @@ def _loss_kernel(recon_ref, x_ref, mu_ref, logvar_ref, sq_ref, kl_ref):
 
     @pl.when(i == 0)
     def _():
-        sq_ref[:] = jnp.zeros_like(sq_ref)
-        kl_ref[:] = jnp.zeros_like(kl_ref)
+        # SMEM accepts only scalar stores
+        sq_ref[0, 0] = 0.0
+        kl_ref[0, 0] = 0.0
 
     diff = recon_ref[:].astype(jnp.float32) - x_ref[:].astype(jnp.float32)
     sq_ref[0, 0] += jnp.sum(diff * diff)
@@ -67,7 +67,10 @@ def _loss_sums(recon, x, mu, logvar, block_b: int = 128):
             _tile(block_b, seg), _tile(block_b, seg),
             _tile(block_b, latent), _tile(block_b, latent),
         ],
-        out_specs=[_whole((1, 1)), _whole((1, 1))],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
