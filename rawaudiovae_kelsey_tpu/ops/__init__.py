@@ -25,4 +25,7 @@ from rawaudiovae_kelsey_tpu.ops.pallas_conv import (  # noqa: F401
     conv_decode_pallas,
     conv_encode_pallas,
 )
-from rawaudiovae_kelsey_tpu.ops.pallas_loss import pallas_loss  # noqa: F401
+from rawaudiovae_kelsey_tpu.ops.pallas_loss import (  # noqa: F401
+    pallas_loss,
+    pallas_loss_components,
+)

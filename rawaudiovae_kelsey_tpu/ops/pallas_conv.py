@@ -62,9 +62,11 @@ def conv1d_transpose_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
     # K-1 minus the corresponding forward conv's SAME padding
     total_fwd = max(0, (L - 1) * stride + K - out_len)
     pb = total_fwd // 2
-    pa = total_fwd - pb
     lo = K - 1 - pb
-    hi = K - 1 - pa
+    # pad the right side to exactly cover the last im2col window
+    # (index out_len - 1 + K - 1): for K < stride the naive K-1-pa pad
+    # under-covers and gather would clamp-read real data
+    hi = (out_len + K - 1) - dil_len - lo
     xp = jnp.pad(dil, ((0, 0), (lo, hi), (0, 0)))
     starts = jnp.arange(out_len)
     idx = starts[:, None] + jnp.arange(K)[None, :]

@@ -114,3 +114,43 @@ def _loss_bwd(kl_beta, reduction, res, g):
 
 
 pallas_loss.defvjp(_loss_fwd, _loss_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def pallas_loss_components(recon, x, mu, logvar, kl_beta: float,
+                           reduction: str = "mean"):
+    """Fused (loss, mse, kld) — the models/vae.loss_components contract,
+    dispatched by the train step when ``[tpu] backend = pallas``."""
+    sq, kl, n = _loss_sums(recon, x, mu, logvar)
+    if reduction == "mean":
+        mse = sq / (n * recon.shape[1])
+        kld = -0.5 * kl / (n * mu.shape[1])
+    else:
+        mse = sq
+        kld = -0.5 * kl
+    return mse + kl_beta * kld, mse, kld
+
+
+def _components_fwd(recon, x, mu, logvar, kl_beta, reduction):
+    out = pallas_loss_components(recon, x, mu, logvar, kl_beta, reduction)
+    return out, (recon, x, mu, logvar)
+
+
+def _components_bwd(kl_beta, reduction, res, cts):
+    recon, x, mu, logvar = res
+    g_loss, g_mse, g_kld = cts
+    # loss = mse + beta*kld, so cotangents combine linearly
+    g_m = g_loss + g_mse
+    g_k = kl_beta * g_loss + g_kld
+    if reduction == "mean":
+        d_recon = (2.0 / recon.size) * (recon - x) * g_m
+        d_mu = (1.0 / mu.size) * mu * g_k
+        d_logvar = (1.0 / (2.0 * mu.size)) * (jnp.exp(logvar) - 1.0) * g_k
+    else:
+        d_recon = 2.0 * (recon - x) * g_m
+        d_mu = mu * g_k
+        d_logvar = 0.5 * (jnp.exp(logvar) - 1.0) * g_k
+    return d_recon, -d_recon, d_mu, d_logvar
+
+
+pallas_loss_components.defvjp(_components_fwd, _components_bwd)

@@ -44,11 +44,21 @@ def build_shard_map_train_step(
     """Data-parallel train step with explicit grad pmean.  Params/opt state
     replicated; batch sharded over ``data``.  (Tensor parallelism stays with
     the GSPMD step — this path is dp-only by design.)"""
+    if cfg.tpu.microbatch_size:
+        raise ValueError(
+            "build_shard_map_train_step does not implement microbatch "
+            "gradient accumulation; use build_train_step (GSPMD) for "
+            "microbatch_size > 0"
+        )
     loss_fn = make_loss_fn(model, cfg)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     seg = model.segment_length
     prec = _matmul_precision(cfg.tpu.precision)
-    n_shards = mesh.shape[DATA_AXIS]
+    # sum-reduced losses combine across shards with psum (a pmean of
+    # per-shard sums would silently scale grads by 1/n_shards)
+    reduce = (jax.lax.psum
+              if cfg.training.loss_reduction.split()[0] == "sum"
+              else jax.lax.pmean)
 
     def per_shard(state: TrainState, local_batch: jax.Array):
         # distinct eps per shard: fold the shard index into the step key
@@ -58,11 +68,11 @@ def build_shard_map_train_step(
         )
         (loss, (mse, kld)), grads = grad_fn(state.params, key, local_batch)
         grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
-        # THE collective: one pmean of grads (+ scalar metrics) over ICI
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        mse = jax.lax.pmean(mse, DATA_AXIS)
-        kld = jax.lax.pmean(kld, DATA_AXIS)
+        # THE collective: one reduction of grads (+ scalar metrics) over ICI
+        grads = reduce(grads, DATA_AXIS)
+        loss = reduce(loss, DATA_AXIS)
+        mse = reduce(mse, DATA_AXIS)
+        kld = reduce(kld, DATA_AXIS)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

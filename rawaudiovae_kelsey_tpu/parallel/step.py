@@ -48,6 +48,16 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
     reduction = cfg.training.loss_reduction.split()[0]
     bf16 = cfg.tpu.precision == "bfloat16"
     tpu_prng = cfg.tpu.rng == "tpu_prng"
+    if cfg.tpu.backend == "pallas":
+        from rawaudiovae_kelsey_tpu.ops import pallas_loss_components
+
+        def compute_loss(recon, x, mu, logvar):
+            return pallas_loss_components(recon, x, mu, logvar,
+                                          kl_beta, reduction)
+    else:
+        def compute_loss(recon, x, mu, logvar):
+            return loss_components(recon, x, mu, logvar, kl_beta, seg,
+                                   reduction)
 
     def sample(key, mu, logvar):
         if tpu_prng:
@@ -74,9 +84,7 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
         if bf16:
             z = z.astype(jnp.bfloat16)
         recon = model.decode(cparams, z).astype(jnp.float32)
-        loss, mse, kld = loss_components(
-            recon, x, mu, logvar, kl_beta, seg, reduction
-        )
+        loss, mse, kld = compute_loss(recon, x, mu, logvar)
         return loss, (mse, kld)
 
     if cfg.tpu.remat:

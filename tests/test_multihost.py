@@ -70,9 +70,13 @@ print(f"proc{proc_id} coordinator={is_coordinator()} loss={loss:.6f}")
 
 @pytest.mark.slow
 def test_two_process_distributed_step(tmp_path):
+    import socket
+
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
-    port = "12957"
+    with socket.socket() as sk:  # ephemeral port: avoids cross-run clashes
+        sk.bind(("127.0.0.1", 0))
+        port = str(sk.getsockname()[1])
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)
     env.pop("XLA_FLAGS", None)  # single device per process

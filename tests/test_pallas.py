@@ -346,3 +346,87 @@ def test_pallas_loss_parity_and_grads():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-7, rtol=1e-5,
                                        err_msg=reduction)
+
+
+def test_pallas_loss_components_in_step():
+    """backend=pallas routes the loss through the fused kernel; metrics and
+    update match the XLA step (same batch, same weights)."""
+    from rawaudiovae_kelsey_tpu.ops import pallas_loss_components
+    from rawaudiovae_kelsey_tpu.models.vae import loss_components
+
+    rng = np.random.default_rng(1)
+    recon = jnp.asarray(rng.uniform(-1, 1, (64, SEG)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (64, SEG)).astype(np.float32))
+    mu = jnp.asarray(rng.standard_normal((64, LATENT)).astype(np.float32))
+    lv = jnp.asarray((rng.standard_normal((64, LATENT)) * 0.3)
+                     .astype(np.float32))
+    for red in ("mean", "sum"):
+        got = pallas_loss_components(recon, x, mu, lv, 1e-4, red)
+        ref = loss_components(recon, x, mu, lv, 1e-4, SEG, red)
+        for a, b in zip(got, ref):
+            assert float(a) == pytest.approx(float(b), rel=1e-6), red
+        # grads of the composite (loss only, aux zero-cotangent)
+        gp = jax.grad(lambda r: pallas_loss_components(r, x, mu, lv,
+                                                       1e-4, red)[0])(recon)
+        gr = jax.grad(lambda r: loss_components(r, x, mu, lv, 1e-4,
+                                                SEG, red)[0])(recon)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=1e-7, rtol=1e-5)
+
+
+def test_conv_transpose_small_kernel():
+    """Review regression: K < stride (incl. K=1) transpose conv must match
+    lax.conv_transpose (the old padding clamp-read real data)."""
+    from rawaudiovae_kelsey_tpu.models import variants
+    from rawaudiovae_kelsey_tpu.ops import conv1d_transpose_pallas
+
+    rng = np.random.default_rng(5)
+    for K, S in ((1, 2), (1, 4), (3, 4), (2, 4)):
+        x = jnp.asarray(rng.standard_normal((2, 12, 3)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((K, 3, 5)) * 0.1)
+                        .astype(np.float32))
+        b = jnp.zeros(5, jnp.float32)
+        ref = variants._conv_transpose({"w": w, "b": b}, x, S)
+        got = conv1d_transpose_pallas(x, w, b, S, "none")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4,
+                                   err_msg=f"K{K} S{S}")
+
+
+def test_shard_map_sum_reduction():
+    """Review regression: loss_reduction='sum' must psum (not pmean) across
+    shards — global loss equals the replicated step's."""
+    from rawaudiovae_kelsey_tpu.parallel import (
+        build_shard_map_train_step,
+        build_train_step,
+        make_mesh,
+    )
+    from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
+    from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
+
+    cfg = Config()
+    cfg.audio.segment_length = SEG
+    cfg.audio.hop_length = 64
+    cfg.vae.n_units = UNITS
+    cfg.vae.latent_dim = LATENT
+    cfg.training.learning_rate = 1e-4
+    cfg.training.loss_reduction = "sum"
+    model = build_model(cfg)
+    opt = build_optimizer(cfg)
+    params = model.init(jax.random.PRNGKey(9))
+    mesh = make_mesh()
+    batch = jnp.asarray(
+        np.random.default_rng(9).uniform(-1, 1, (64, SEG)).astype(np.float32)
+    )
+    s1 = TrainState.create(params, opt.init(params), seed=9)
+    s2 = TrainState.create(params, opt.init(params), seed=9)
+    step_sm = build_shard_map_train_step(model, cfg, opt, mesh, donate=False)
+    step_ref = build_train_step(model, cfg, opt, donate=False)
+    _, m1 = step_sm(s1, jax.device_put(batch, batch_sharding(mesh)))
+    _, m2 = step_ref(s2, batch)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=0.05)
+
+    # microbatch config is rejected rather than silently ignored
+    cfg.tpu.microbatch_size = 8
+    with pytest.raises(ValueError, match="microbatch"):
+        build_shard_map_train_step(model, cfg, opt, mesh)
