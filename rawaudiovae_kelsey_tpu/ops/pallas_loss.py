@@ -119,8 +119,12 @@ pallas_loss.defvjp(_loss_fwd, _loss_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def pallas_loss_components(recon, x, mu, logvar, kl_beta: float,
                            reduction: str = "mean"):
-    """Fused (loss, mse, kld) — the models/vae.loss_components contract,
-    dispatched by the train step when ``[tpu] backend = pallas``."""
+    """Fused (loss, mse, kld) — the models/vae.loss_components contract.
+
+    Available as a standalone op; NOT dispatched by the train step: measured
+    end-to-end it costs ~30% (the custom_vjp boundary prevents XLA from
+    fusing the loss backward into the decode backward chain — docs/PERF.md).
+    """
     sq, kl, n = _loss_sums(recon, x, mu, logvar)
     if reduction == "mean":
         mse = sq / (n * recon.shape[1])

@@ -48,16 +48,14 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
     reduction = cfg.training.loss_reduction.split()[0]
     bf16 = cfg.tpu.precision == "bfloat16"
     tpu_prng = cfg.tpu.rng == "tpu_prng"
-    if cfg.tpu.backend == "pallas":
-        from rawaudiovae_kelsey_tpu.ops import pallas_loss_components
 
-        def compute_loss(recon, x, mu, logvar):
-            return pallas_loss_components(recon, x, mu, logvar,
-                                          kl_beta, reduction)
-    else:
-        def compute_loss(recon, x, mu, logvar):
-            return loss_components(recon, x, mu, logvar, kl_beta, seg,
-                                   reduction)
+    # Loss stays on the XLA reduction even under backend=pallas: wiring
+    # ops.pallas_loss_components here was measured at 931k frames/s vs
+    # 1.34M (the custom_vjp boundary blocks XLA from fusing the loss
+    # backward into the decode backward chain) — see docs/PERF.md.
+    def compute_loss(recon, x, mu, logvar):
+        return loss_components(recon, x, mu, logvar, kl_beta, seg,
+                               reduction)
 
     def sample(key, mu, logvar):
         if tpu_prng:

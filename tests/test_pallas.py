@@ -348,9 +348,9 @@ def test_pallas_loss_parity_and_grads():
                                        err_msg=reduction)
 
 
-def test_pallas_loss_components_in_step():
-    """backend=pallas routes the loss through the fused kernel; metrics and
-    update match the XLA step (same batch, same weights)."""
+def test_pallas_loss_components_op():
+    """The fused 3-output loss op (standalone — deliberately NOT wired into
+    the train step, see docs/PERF.md) matches loss_components exactly."""
     from rawaudiovae_kelsey_tpu.ops import pallas_loss_components
     from rawaudiovae_kelsey_tpu.models.vae import loss_components
 
