@@ -35,7 +35,12 @@ KL_BETA, LR = 1e-4, 1e-4
 
 
 def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
-              microbatch: int = 0) -> float:
+              microbatch: int = 0, chain: int = 10) -> float:
+    """``chain`` > 1 runs that many optimizer steps per dispatch inside one
+    jitted lax.scan — the measurement then reflects device throughput even
+    when host→device dispatch latency is high (the axon tunnel's round-trip
+    fluctuates between ~0.5 and ~5 ms, which would otherwise dominate a
+    1.4 ms step)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,7 +65,20 @@ def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
     opt = build_optimizer(cfg)
     params = model.init(jax.random.PRNGKey(0))
     state = TrainState.create(params, opt.init(params), seed=0)
-    step = build_train_step(model, cfg, opt)
+    one_step = build_train_step(model, cfg, opt, donate=False)
+
+    if chain > 1:
+        inner = one_step
+
+        @jax.jit
+        def step(state, batch):
+            def body(s, _):
+                s, m = inner(s, batch)
+                return s, m["loss"]
+            s, losses = jax.lax.scan(body, state, None, length=chain)
+            return s, {"loss": losses[-1]}
+    else:
+        step = one_step
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.uniform(-1, 1, (batch_size, SEG)).astype(np.float32))
@@ -81,7 +99,7 @@ def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
     float(jax.device_get(m["loss"]))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    return batch_size * steps * max(chain, 1) / dt
 
 
 def bench_synth(batch_size: int, steps: int, precision: str,
@@ -180,11 +198,14 @@ def bench_torch_cpu(batch_size: int, steps: int = 3) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--precision", type=str, default="bfloat16")
     ap.add_argument("--backend", type=str, default="xla")
     ap.add_argument("--no-torch", action="store_true")
+    ap.add_argument("--chain", type=int, default=10,
+                    help="optimizer steps per dispatch (lax.scan); "
+                         "amortizes host dispatch latency")
     ap.add_argument("--microbatch", type=int, default=0,
                     help="gradient-accumulation microbatch size (lets the "
                          "reference default batch 131072 run on one chip)")
@@ -206,7 +227,7 @@ def main() -> None:
         return
 
     fps = bench_jax(args.batch, args.steps, args.precision, args.backend,
-                    microbatch=args.microbatch)
+                    microbatch=args.microbatch, chain=args.chain)
 
     baseline = None
     if not args.no_torch:
