@@ -15,7 +15,7 @@ Flags:
     --steps N        timed steps for the JAX side (default 100)
     --batch N        batch size (default 4096)
     --precision P    highest | float32 | bfloat16 (default bfloat16)
-    --backend B      xla | pallas (default: pallas if available, else xla)
+    --backend B      pallas (default) | xla
     --no-torch       skip the torch baseline (vs_baseline falls back to a
                      cached measurement if present)
 """
@@ -201,7 +201,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--precision", type=str, default="bfloat16")
-    ap.add_argument("--backend", type=str, default="xla")
+    ap.add_argument("--backend", type=str, default="pallas",
+                    help="pallas (default; fastest, parity-tested) | xla")
     ap.add_argument("--no-torch", action="store_true")
     ap.add_argument("--chain", type=int, default=10,
                     help="optimizer steps per dispatch (lax.scan); "
