@@ -193,6 +193,53 @@ class StreamingFrameDataset:
                 if len(frames):
                     yield frames
 
+    # ---------------------------------------------------- resident support --
+    def all_frames(self) -> np.ndarray:
+        """Every file's streaming windows concatenated in sorted-file order —
+        the frame matrix the device-resident stream path uploads once."""
+        parts = [self._file_frames(f) for f in self.audio_file_list]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            raise FileNotFoundError(f"no usable wav files in {self.audio_folder}")
+        return np.concatenate(parts, axis=0)
+
+    def index_plan(self) -> Iterator[np.ndarray]:
+        """Infinite stream of per-file frame-index arrays into
+        :meth:`all_frames`, in EXACTLY the order :meth:`frames_iter` would
+        emit the frames (same shuffle RNG consumption).  Lets the device-
+        resident stream trainer replay the stream with int32 indices instead
+        of audio rows."""
+        counts = [len(self._file_frames(f)) for f in self.audio_file_list]
+        offsets = {}
+        acc = 0
+        for f, c in zip(self.audio_file_list, counts):
+            offsets[f] = (acc, c)
+            acc += c
+        if acc == 0:
+            raise FileNotFoundError(f"no usable wav files in {self.audio_folder}")
+        while True:
+            file_list = (self._shuffled() if self.shuffle
+                         else self.audio_file_list)
+            for f in file_list:
+                lo, c = offsets[f]
+                if c:
+                    yield np.arange(lo, lo + c, dtype=np.int32)
+
+    def index_batches(self, batch_size: int) -> Iterator[np.ndarray]:
+        """Batched form of :meth:`index_plan` — same chunking rule as
+        :meth:`batches`."""
+        buf: List[np.ndarray] = []
+        have = 0
+        for idx in self.index_plan():
+            buf.append(idx)
+            have += len(idx)
+            while have >= batch_size:
+                chunk = np.concatenate(buf) if len(buf) > 1 else buf[0]
+                yield np.ascontiguousarray(chunk[:batch_size])
+                rest = chunk[batch_size:]
+                buf = [rest] if len(rest) else []
+                have = len(rest)
+
     def batches(self, batch_size: int) -> Iterator[np.ndarray]:
         """Infinite stream of exact ``(batch_size, segment)`` batches,
         crossing file boundaries like the reference DataLoader did.  Bound it

@@ -2,6 +2,7 @@ from rawaudiovae_kelsey_tpu.io.wavio import (  # noqa: F401
     WavFormatError,
     read_wav,
     to_mono,
+    wav_info,
     write_wav,
 )
 from rawaudiovae_kelsey_tpu.io.resample import load, resample  # noqa: F401

@@ -188,3 +188,28 @@ def to_mono(samples: np.ndarray, mode: str = "mean") -> np.ndarray:
     if mode == "first":
         return np.ascontiguousarray(samples[:, 0])
     raise ValueError(f"unknown mono mode {mode!r}")
+
+
+def wav_info(path: Union[str, Path]) -> Tuple[int, int, int, int]:
+    """Header-only inspection: (num_frames, channels, sample_rate, bits) —
+    no sample decode (used for cheap dataset sizing)."""
+    data = Path(path).read_bytes()
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavFormatError(f"{path}: not a RIFF/WAVE file")
+    fmt = None
+    payload_len = 0
+    pos = 12
+    end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt ":
+            fmt = _parse_fmt(data[pos + 8:pos + 8 + csize], path)
+        elif cid == b"data":
+            payload_len = min(csize, len(data) - pos - 8)
+        pos += 8 + csize + (csize & 1)
+    if fmt is None:
+        raise WavFormatError(f"{path}: missing fmt chunk")
+    tag, channels, rate, bits = fmt
+    frame_bytes = max(1, channels * (bits // 8))
+    return payload_len // frame_bytes, channels, rate, bits

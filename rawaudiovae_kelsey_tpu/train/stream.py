@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import itertools
 
+import numpy as np
+
 import jax
 
 from rawaudiovae_kelsey_tpu.config import Config
@@ -33,7 +35,8 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
     if not datapath.exists():
         raise FileNotFoundError(datapath.resolve())
 
-    ctx = L.setup(cfg)
+    # device_resident="always" runs the on-chip stream loop (single-device)
+    ctx = L.setup(cfg, use_mesh=cfg.tpu.device_resident != "always")
     try:
         with tee_stdout(ctx.workspace.console_log_path), \
                 GracefulInterrupt() as stop:
@@ -73,6 +76,18 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     )
     cfg.dataset.total_frames = str(cfg.training.total_num_frames)
     ctx.workspace.snapshot_config(cfg)
+
+    # device-resident stream fast path: when the decoded folder's frame
+    # matrix fits the HBM budget, replay the EXACT stream (per-pass file
+    # shuffle, boundary-crossing batches) with int32 index batches — audio
+    # rows never cross the host link after the one-time upload
+    if ctx.mesh is None and cfg.tpu.device_resident != "never":
+        est = _estimate_stream_frames(dataset, cfg)
+        dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
+        budget = int(cfg.tpu.resident_budget_gb * (1 << 30))
+        if est is not None and                 est * cfg.audio.segment_length * dtype_bytes <= budget:
+            return _run_resident(ctx, cfg, verbose, stop, dataset,
+                                 total_num_batches)
 
     sharding = batch_sharding(ctx.mesh) if ctx.mesh is not None else None
     interval = cfg.training.checkpoint_interval
@@ -133,7 +148,6 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         if interval and batch_id % interval == 0 and batch_id != 0:
             drain()
             step_time = ctx.timer.stop()
-            ctx.timer.start()
             print(f"Checkpoint - Batch {batch_id} "
                   f"({interval * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
@@ -145,6 +159,9 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             interval_mean = window_loss / max(window_count, 1)
             L.maybe_save_best(ctx, interval_mean, batch_id, after=0)
             window_loss, window_count = 0.0, 0
+            # restart AFTER checkpoint I/O so the reported frames/s measures
+            # the training window, not eval/save traffic
+            ctx.timer.start()
 
     drain()
     # final reconstruction + saves (train_iterable.py:271-319)
@@ -163,3 +180,156 @@ def _feed_dtype(cfg):
 
         return ml_dtypes.bfloat16
     return None
+
+
+def _estimate_stream_frames(dataset: StreamingFrameDataset, cfg) -> int | None:
+    """Total streaming frames across the folder from wav headers only."""
+    from rawaudiovae_kelsey_tpu.io import wav_info
+
+    seg, hop, sr = (cfg.audio.segment_length, cfg.audio.hop_length,
+                    cfg.audio.sampling_rate)
+    total = 0
+    try:
+        for f in dataset.audio_file_list:
+            n, _ch, native_sr, _bits = wav_info(f)
+            if native_sr != sr:
+                n = int(n * sr / native_sr)
+            n += (-n) % hop
+            if n >= seg:
+                total += (n - seg) // hop + 1
+    except Exception:
+        return None
+    return total
+
+
+def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
+                  dataset: StreamingFrameDataset,
+                  total_num_batches: int) -> L.TrainContext:
+    """On-device stream trainer: frames uploaded once, the scan body gathers
+    each batch by index; per-dispatch host traffic is one (chunk, batch)
+    int32 array (~KBs) instead of (chunk*batch, segment) audio (~hundreds of
+    MB)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from rawaudiovae_kelsey_tpu.parallel.step import (
+        _matmul_precision,
+        make_loss_fn,
+    )
+    from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
+    from rawaudiovae_kelsey_tpu.train.state import TrainState
+
+    batch_size = cfg.training.batch_size
+    interval = cfg.training.checkpoint_interval
+    hist_every = cfg.tpu.histogram_interval
+    lr = cfg.training.learning_rate
+
+    dtype = jnp.bfloat16 if cfg.tpu.precision == "bfloat16" else jnp.float32
+    frames_np = dataset.all_frames()
+    dev_frames = jax.device_put(jnp.asarray(frames_np, dtype))
+    del frames_np
+
+    # chunk = steps per dispatch; align with the checkpoint cadence
+    chunk = min(16, interval or 16, total_num_batches) or 1
+
+    optimizer = build_optimizer(cfg)
+    loss_fn = make_loss_fn(ctx.model, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    prec = _matmul_precision(cfg.tpu.precision)
+
+    @jax.jit
+    def run_chunk(state, idx_chunk):
+        with jax.default_matmul_precision(prec):
+            def body(s, idx):
+                xb = dev_frames[idx]
+                key = jax.random.fold_in(s.rng, s.step)
+                (loss, _aux), grads = grad_fn(s.params, key, xb)
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(jnp.float32), grads
+                )
+                import optax
+
+                updates, opt_state = optimizer.update(
+                    grads, s.opt_state, s.params
+                )
+                return TrainState(
+                    params=optax.apply_updates(s.params, updates),
+                    opt_state=opt_state, rng=s.rng, step=s.step + 1,
+                ), loss
+
+            return jax.lax.scan(body, state, idx_chunk)
+
+    start_batch = ctx.start_step
+    remaining = total_num_batches - start_batch
+    plan = dataset.index_batches(batch_size)
+    # resume: consume the indices the finished batches already used
+    for _ in range(start_batch):
+        next(plan)
+    print(f"Device-resident stream: {dev_frames.shape[0]:,} frames "
+          f"({dev_frames.nbytes / 1e6:,.0f} MB on device), "
+          f"{chunk} steps/dispatch")
+
+    train_loss_accum = 0.0
+    window_loss, window_count = 0.0, 0
+    batch_id = start_batch
+    pending = []  # (start_batch_id, device losses) — drained off the hot path
+
+    def drain():
+        nonlocal train_loss_accum, window_loss, window_count
+        for bid0, dev_losses in pending:
+            for j, l in enumerate(
+                np.asarray(jax.device_get(dev_losses), np.float64)
+            ):
+                train_loss_accum += float(l)
+                window_loss += float(l)
+                window_count += 1
+                ctx.writer.add_scalar("Loss/Batch", float(l), bid0 + j)
+                ctx.writer.add_scalar("Learning Rate", lr, bid0 + j)
+        pending.clear()
+
+    ctx.timer.start()
+    while batch_id < total_num_batches:
+        k = min(chunk, total_num_batches - batch_id)
+        if interval:
+            # land exactly on checkpoint boundaries
+            to_boundary = interval - (batch_id % interval)
+            k = min(k, to_boundary)
+        idx_chunk = np.stack(list(itertools.islice(plan, k)))
+        ctx.state, losses = run_chunk(ctx.state, jnp.asarray(idx_chunk))
+        pending.append((batch_id, losses))  # no sync in the hot loop
+        batch_id += k
+
+        if verbose:
+            print(f"Batch {batch_id}/{total_num_batches}")
+        if hist_every and batch_id % hist_every == 0:
+            L.log_param_histograms(ctx, batch_id)
+        if stop:
+            step_time = ctx.timer.stop()
+            print(f"Interrupted at batch {batch_id}; checkpointing.")
+            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
+                                       label=batch_id)
+            return ctx
+        if interval and batch_id % interval == 0 and                 batch_id != total_num_batches:
+            step_time = ctx.timer.stop()
+            ctx.timer.start()
+            print(f"Checkpoint - Batch {batch_id} "
+                  f"({interval * cfg.training.batch_size / max(step_time, 1e-9):,.0f} frames/s)")
+            if cfg.dataset.generate_test:
+                L.reconstruct_test_set(ctx, batch_id)
+            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
+                                       label=batch_id)
+            L.maybe_save_best(ctx, window_loss / max(window_count, 1),
+                              batch_id, after=0)
+            window_loss, window_count = 0.0, 0
+
+    drain()
+    print(f"Last Checkpoint - Batch {total_num_batches}")
+    if cfg.dataset.generate_test:
+        L.reconstruct_test_set(ctx, total_num_batches)
+    L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
+                               label=total_num_batches)
+    L.maybe_save_best(ctx, window_loss / max(window_count, 1),
+                      total_num_batches, after=0)
+    L.save_last(ctx)
+    return ctx

@@ -217,3 +217,17 @@ def test_validate_dataset(tmp_path):
         check_before_training(d, 44100, True, False)
     # disabled flags skip entirely
     check_before_training(d, 44100, False, False)
+
+
+def test_index_batches_replay_stream_exactly(stream_dir):
+    """The resident stream's index plan must reproduce the host stream's
+    batches bit-for-bit (same shuffle RNG consumption)."""
+    seg, hop, bs = 512, 128, 16
+    host = StreamingFrameDataset(stream_dir, 44100, hop, seg, shuffle=True,
+                                 seed=4, decode_workers=0)
+    resident = StreamingFrameDataset(stream_dir, 44100, hop, seg,
+                                     shuffle=True, seed=4, decode_workers=0)
+    frames = resident.all_frames()
+    for hb, idx in zip(itertools.islice(host.batches(bs), 15),
+                       itertools.islice(resident.index_batches(bs), 15)):
+        np.testing.assert_array_equal(hb, frames[idx])

@@ -212,3 +212,23 @@ def test_normalize_examples(scratch_dataset):
         sorted(ctx.workspace.audio_log_dir.glob("test_reconst_*.wav"))[-1]
     )
     assert float(np.abs(rec).max()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_stream_trainer_device_resident(scratch_dataset):
+    """Device-resident stream mode: exact stream replay via index batches;
+    full workspace contract."""
+    from rawaudiovae_kelsey_tpu.train.stream import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.training.total_num_frames = 32 * 20
+    cfg.training.checkpoint_interval = 8
+    ctx = train(cfg, verbose=False)
+    ws = ctx.workspace
+    txt = ws.console_log_path.read_text()
+    assert "Device-resident stream" in txt
+    recs = [r.name for r in sorted(ws.audio_log_dir.glob("test_reconst_*.wav"))]
+    assert "test_reconst_00008.wav" in recs
+    assert "test_reconst_00020.wav" in recs
+    assert (ws.checkpoint_dir / "ckpt_00020.npz").exists()
+    assert (ws.model_dir / "last_model.npz").exists()
