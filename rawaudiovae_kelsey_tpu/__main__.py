@@ -8,6 +8,9 @@ Commands:
   export    StableHLO + npz export              (examples/export.py)
   validate  dataset audit (check_dataset/check_audio)
   serve     HTTP inference service (batched encode/decode/reconstruct)
+  som       train a SOM over a wav folder's latents; writes the
+            clusters.json/data-concatenated.json artifacts the tutorial's
+            cluster workflow consumes (replaces the external mlaudiosalad)
 
 The reference-compatible forms ``python train.py --config x.ini`` and
 ``python train_iterable.py --config x.ini`` also work at the repo root.
@@ -68,6 +71,39 @@ def main() -> None:
             host=args.host, port=args.port, batch_size=args.batch_size,
             deterministic=args.deterministic, quantize=args.quantize,
         ).serve_forever()
+    elif cmd == "som":
+        import argparse
+        from pathlib import Path
+
+        import jax
+
+        from rawaudiovae_kelsey_tpu.config import load_config
+        from rawaudiovae_kelsey_tpu.infer import train_som_for_corpus
+        from rawaudiovae_kelsey_tpu.models import build_model
+        from rawaudiovae_kelsey_tpu.train import load_params
+
+        ap = argparse.ArgumentParser(prog="som")
+        ap.add_argument("--run", type=Path, required=True)
+        ap.add_argument("--audio", type=Path, required=True)
+        ap.add_argument("--config", type=Path, default=None)
+        ap.add_argument("--params", type=str, default="best")
+        ap.add_argument("--out", type=Path, default=Path("som"))
+        ap.add_argument("--grid", type=str, default="8,8")
+        ap.add_argument("--iters", type=int, default=200)
+        ap.add_argument("--seed", type=int, default=0)
+        args = ap.parse_args(rest)
+        cfg = load_config(args.config or args.run / "config.ini")
+        model = build_model(cfg)
+        template = model.init(jax.random.PRNGKey(0))
+        params = load_params(
+            args.run / "model" / f"{args.params}_model.npz", template
+        )
+        gy, gx = (int(t) for t in args.grid.split(","))
+        c, d = train_som_for_corpus(
+            model, params, args.audio, args.out, cfg.audio.sampling_rate,
+            grid=(gy, gx), iters=args.iters, seed=args.seed,
+        )
+        print(f"wrote {c}\nwrote {d}")
     elif cmd in ("tutorial", "export"):
         import runpy
         from pathlib import Path

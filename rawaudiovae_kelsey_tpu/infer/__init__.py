@@ -27,3 +27,9 @@ from rawaudiovae_kelsey_tpu.infer.export import (  # noqa: F401
 )
 from rawaudiovae_kelsey_tpu.infer.server import InferenceServer  # noqa: F401
 from rawaudiovae_kelsey_tpu.infer.http import HttpInferenceServer  # noqa: F401
+from rawaudiovae_kelsey_tpu.infer.som_train import (  # noqa: F401
+    assign_clusters,
+    train_som,
+    train_som_for_corpus,
+    write_som_artifacts,
+)

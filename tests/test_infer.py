@@ -280,3 +280,55 @@ def test_ola_roundtrip_of_overlapping_frames():
     # interior: after the first (seg - hop) warmup samples windows fully cover
     lo, hi = seg, len(x) - seg
     np.testing.assert_allclose(y[lo:hi], x[lo:hi], atol=1e-5)
+
+
+def test_som_training_separates_blobs():
+    """Batch SOM on separable blobs: units specialize, assignments recover
+    the blobs."""
+    from rawaudiovae_kelsey_tpu.infer import assign_clusters, train_som
+
+    rng = np.random.default_rng(0)
+    centers = np.array([[5, 0, 0, 0], [-5, 0, 0, 0], [0, 8, 0, 0]], np.float32)
+    feats = np.concatenate([
+        c + 0.3 * rng.standard_normal((30, 4)).astype(np.float32)
+        for c in centers
+    ])
+    codebook = train_som(feats, grid=(3, 3), iters=120, seed=1)
+    assert codebook.shape == (9, 4)
+    assignments = assign_clusters(feats, codebook)
+    # all members of one blob land on the same unit, blobs on distinct units
+    blobs = [set(assignments[i * 30:(i + 1) * 30].tolist()) for i in range(3)]
+    assert all(len(b) <= 2 for b in blobs)          # tight specialization
+    firsts = [assignments[i * 30] for i in range(3)]
+    assert len(set(firsts)) == 3                     # blobs separated
+
+
+def test_som_artifacts_roundtrip_reference_schema(model_and_params, tmp_path):
+    """train_som_for_corpus writes clusters.json/data-concatenated.json that
+    SomClusters (and so the reference notebook's concat_audio_som) consume."""
+    from rawaudiovae_kelsey_tpu.infer import SomClusters, train_som_for_corpus
+
+    model, params = model_and_params
+    audio_dir = tmp_path / "wavs"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        # two families of content: tones vs noise
+        if i % 2 == 0:
+            wave = 0.5 * np.sin(np.linspace(0, 150 * (i + 1), SEG * 4))
+        else:
+            wave = rng.uniform(-0.5, 0.5, SEG * 4)
+        write_wav(audio_dir / f"s{i}.wav", wave.astype(np.float32), 44100)
+
+    clusters_path, data_path = train_som_for_corpus(
+        model, params, audio_dir, tmp_path / "som", 44100,
+        grid=(2, 2), iters=60,
+    )
+    som = SomClusters(clusters_path, data_path)
+    ids = som.cluster_ids()
+    assert ids  # at least one populated cluster
+    total = sum(len(som.clusters[str(c)]) for c in ids)
+    assert total == 6
+    # artifacts resolve back to audio via the reference consumption path
+    audio = som.concat_audio(audio_dir, ids[0], sr=44100)
+    assert len(audio) >= SEG * 4
