@@ -288,15 +288,25 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 ctx.writer.add_scalar("Learning Rate", lr, bid0 + j)
         pending.clear()
 
+    # stage index chunks onto the device ahead of consumption (the idx
+    # upload is the only remaining per-chunk host-link dependency)
+    from rawaudiovae_kelsey_tpu.data.loader import prefetch_to_device
+
+    def chunk_plan():
+        bid = start_batch
+        while bid < total_num_batches:
+            k = min(chunk, total_num_batches - bid)
+            if interval:
+                k = min(k, interval - (bid % interval))
+            yield np.stack(list(itertools.islice(plan, k)))
+            bid += k
+
+    staged = prefetch_to_device(chunk_plan(), depth=3)
+
     ctx.timer.start()
-    while batch_id < total_num_batches:
-        k = min(chunk, total_num_batches - batch_id)
-        if interval:
-            # land exactly on checkpoint boundaries
-            to_boundary = interval - (batch_id % interval)
-            k = min(k, to_boundary)
-        idx_chunk = np.stack(list(itertools.islice(plan, k)))
-        ctx.state, losses = run_chunk(ctx.state, jnp.asarray(idx_chunk))
+    for idx_dev in staged:
+        k = idx_dev.shape[0]
+        ctx.state, losses = run_chunk(ctx.state, idx_dev)
         pending.append((batch_id, losses))  # no sync in the hot loop
         batch_id += k
 
