@@ -122,3 +122,24 @@ def build_model(cfg: Config) -> ModelDef:
         )
 
     raise ValueError(f"unknown arch {arch!r}")
+
+
+def summarize(model: ModelDef, params) -> str:
+    """Text model summary — the working interpretation of the reference's
+    dead ``plot_model`` key (default.ini:37, quirk #9): layer-by-layer
+    shapes and parameter counts printed at driver start."""
+    import numpy as np
+
+    lines = [f"model: {model.name}  segment={model.segment_length}  "
+             f"latent={model.latent_dim}"]
+    total = 0
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, leaf in flat:
+        name = ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        total += n
+        lines.append(f"  {name:<24} {str(tuple(leaf.shape)):<18} {n:>12,}")
+    lines.append(f"  total parameters: {total:,} "
+                 f"({total * 4 / 1e6:.1f} MB fp32)")
+    return "\n".join(lines)

@@ -99,6 +99,11 @@ def setup(cfg: Config, use_mesh: bool = True,
     opt_state = optimizer.init(params)
     state = TrainState.create(params, opt_state, seed=cfg.tpu.seed)
 
+    if cfg.extra.plot_model:
+        from rawaudiovae_kelsey_tpu.models.registry import summarize
+
+        print(summarize(model, params))
+
     train_step = build_train_step(model, cfg, optimizer, mesh=mesh)
     eval_step = build_eval_step(model, cfg, mesh=mesh)
     writer = EventWriter(ws.log_dir)
@@ -187,7 +192,13 @@ def reconstruct_test_set(ctx: TrainContext, step_label: int) -> np.ndarray:
     out_path = ctx.audio_log_dir / f"test_reconst_{step_label:05d}.wav"
     write_wav(out_path, wave, ctx.cfg.audio.sampling_rate)
     print(f"Audio examples generated: {out_path}")
-    ctx.writer.add_audio("Reconstructed Audio", wave, step_label,
+    # TB example cropped to example_length seconds (dead reference key
+    # default.ini:36, quirk #9 — the wav on disk stays full length)
+    tb_wave = wave
+    ex_len = ctx.cfg.extra.example_length
+    if ex_len > 0:
+        tb_wave = wave[: ex_len * ctx.cfg.audio.sampling_rate]
+    ctx.writer.add_audio("Reconstructed Audio", tb_wave, step_label,
                          sample_rate=ctx.cfg.audio.sampling_rate)
     return wave
 
