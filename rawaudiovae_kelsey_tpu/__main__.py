@@ -102,6 +102,7 @@ def main() -> None:
         c, d = train_som_for_corpus(
             model, params, args.audio, args.out, cfg.audio.sampling_rate,
             grid=(gy, gx), iters=args.iters, seed=args.seed,
+            mono=cfg.dataset.mono,
         )
         print(f"wrote {c}\nwrote {d}")
     elif cmd in ("tutorial", "export"):

@@ -193,11 +193,25 @@ class StreamingFrameDataset:
                 if len(frames):
                     yield frames
 
+    def release_cache(self) -> None:
+        """Free the decoded per-file cache (frame counts stay memoized) —
+        called once the resident trainer has uploaded the data to device."""
+        self._cache.clear()
+
+    def frame_counts(self) -> List[int]:
+        """Streaming frame count per file (decodes once; memoized so the
+        index plan never re-decodes after release_cache)."""
+        if not hasattr(self, "_frame_counts"):
+            self._frame_counts = [len(self._file_frames(f))
+                                  for f in self.audio_file_list]
+        return self._frame_counts
+
     # ---------------------------------------------------- resident support --
     def all_frames(self) -> np.ndarray:
         """Every file's streaming windows concatenated in sorted-file order —
         the frame matrix the device-resident stream path uploads once."""
         parts = [self._file_frames(f) for f in self.audio_file_list]
+        self._frame_counts = [len(p) for p in parts]
         parts = [p for p in parts if len(p)]
         if not parts:
             raise FileNotFoundError(f"no usable wav files in {self.audio_folder}")
@@ -209,7 +223,7 @@ class StreamingFrameDataset:
         emit the frames (same shuffle RNG consumption).  Lets the device-
         resident stream trainer replay the stream with int32 indices instead
         of audio rows."""
-        counts = [len(self._file_frames(f)) for f in self.audio_file_list]
+        counts = self.frame_counts()
         offsets = {}
         acc = 0
         for f, c in zip(self.audio_file_list, counts):

@@ -191,23 +191,33 @@ def to_mono(samples: np.ndarray, mode: str = "mean") -> np.ndarray:
 
 
 def wav_info(path: Union[str, Path]) -> Tuple[int, int, int, int]:
-    """Header-only inspection: (num_frames, channels, sample_rate, bits) —
-    no sample decode (used for cheap dataset sizing)."""
-    data = Path(path).read_bytes()
-    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise WavFormatError(f"{path}: not a RIFF/WAVE file")
-    fmt = None
-    payload_len = 0
-    pos = 12
-    end = min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
-    while pos + 8 <= end:
-        cid = data[pos:pos + 4]
-        (csize,) = struct.unpack_from("<I", data, pos + 4)
-        if cid == b"fmt ":
-            fmt = _parse_fmt(data[pos + 8:pos + 8 + csize], path)
-        elif cid == b"data":
-            payload_len = min(csize, len(data) - pos - 8)
-        pos += 8 + csize + (csize & 1)
+    """Header-only inspection: (num_frames, channels, sample_rate, bits).
+
+    Reads only chunk headers (seeking over payloads), so sizing a 100 GB
+    folder costs KBs of I/O per file — unlike :func:`read_wav`, nothing is
+    decoded."""
+    path = Path(path)
+    fsize = path.stat().st_size
+    with open(path, "rb") as fh:
+        head = fh.read(12)
+        if len(head) < 12 or head[0:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise WavFormatError(f"{path}: not a RIFF/WAVE file")
+        riff_end = min(fsize, 8 + struct.unpack_from("<I", head, 4)[0])
+        fmt = None
+        payload_len = 0
+        pos = 12
+        while pos + 8 <= riff_end:
+            fh.seek(pos)
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[:4]
+            (csize,) = struct.unpack_from("<I", hdr, 4)
+            if cid == b"fmt ":
+                fmt = _parse_fmt(fh.read(min(csize, 64)), path)
+            elif cid == b"data":
+                payload_len = min(csize, fsize - pos - 8)
+            pos += 8 + csize + (csize & 1)
     if fmt is None:
         raise WavFormatError(f"{path}: missing fmt chunk")
     tag, channels, rate, bits = fmt

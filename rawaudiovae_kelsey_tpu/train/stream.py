@@ -11,6 +11,15 @@ Contract points kept:
     ``[tpu] histogram_interval`` (quirk #10: every batch was pathological).
 Fixed: the hard-coded segment_length 1024 (dataset.py:66, quirk #2) and the
 degenerate best-model gate (quirk #7).
+
+Two execution paths share all bookkeeping:
+  * host-fed (default on meshes / big corpora): background prefetcher feeds
+    device batches;
+  * device-resident (``[tpu] device_resident``, single device, corpus frame
+    matrix within budget): the frames upload once and the EXACT stream order
+    — per-pass file shuffle, boundary-crossing batches, verified bit-for-bit
+    against the host loader — replays on device from staged int32 index
+    chunks, scanning several optimizer steps per dispatch.
 """
 
 from __future__ import annotations
@@ -25,9 +34,9 @@ from rawaudiovae_kelsey_tpu.config import Config
 from rawaudiovae_kelsey_tpu.data.datasets import StreamingFrameDataset
 from rawaudiovae_kelsey_tpu.data.loader import prefetch_to_device
 from rawaudiovae_kelsey_tpu.observe.logging import tee_stdout
-from rawaudiovae_kelsey_tpu.train.interrupt import GracefulInterrupt
 from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
 from rawaudiovae_kelsey_tpu.train import loop as L
+from rawaudiovae_kelsey_tpu.train.interrupt import GracefulInterrupt
 
 
 def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
@@ -78,16 +87,25 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     ctx.workspace.snapshot_config(cfg)
 
     # device-resident stream fast path: when the decoded folder's frame
-    # matrix fits the HBM budget, replay the EXACT stream (per-pass file
-    # shuffle, boundary-crossing batches) with int32 index batches — audio
-    # rows never cross the host link after the one-time upload
+    # matrix fits the HBM budget, replay the EXACT stream with int32 index
+    # batches — audio rows never cross the host link after the upload
     if ctx.mesh is None and cfg.tpu.device_resident != "never":
         est = _estimate_stream_frames(dataset, cfg)
         dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
         budget = int(cfg.tpu.resident_budget_gb * (1 << 30))
-        if est is not None and                 est * cfg.audio.segment_length * dtype_bytes <= budget:
+        fits = (est is not None
+                and est * cfg.audio.segment_length * dtype_bytes <= budget)
+        if fits:
             return _run_resident(ctx, cfg, verbose, stop, dataset,
                                  total_num_batches)
+        if cfg.tpu.device_resident == "always":
+            # don't silently degrade to single-device host-fed training
+            raise ValueError(
+                "device_resident=always but the stream's frame matrix "
+                f"(est {est} frames) exceeds resident_budget_gb="
+                f"{cfg.tpu.resident_budget_gb} (or headers were unreadable);"
+                " raise the budget or use device_resident=auto"
+            )
 
     sharding = batch_sharding(ctx.mesh) if ctx.mesh is not None else None
     interval = cfg.training.checkpoint_interval
@@ -130,11 +148,11 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         pending.append((batch_id, metrics["loss"]))
 
         if stop:
+            feed.close()
             drain()
             print(f"Interrupted at batch {batch_id}; checkpointing.")
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
                                        label=batch_id)
-            feed.close()
             return ctx
 
         if verbose and batch_id % max(1, interval // 10 or 1) == 0:
@@ -152,7 +170,8 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
                   f"({interval * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
-            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id}, label=batch_id)
+            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
+                                       label=batch_id)
             # best gate on the mean loss of this checkpoint interval (the
             # reference compared a cumulative sum against a constant — both
             # degenerate; see DIVERGENCES.md)
@@ -168,11 +187,13 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     print(f"Last Checkpoint - Batch {total_num_batches}")
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, total_num_batches)
-    L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches}, label=total_num_batches)
+    L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
+                               label=total_num_batches)
     L.maybe_save_best(ctx, window_loss / max(window_count, 1),
                       total_num_batches, after=0)
     L.save_last(ctx)
     return ctx
+
 
 def _feed_dtype(cfg):
     if cfg.tpu.feed_dtype == "bfloat16":
@@ -205,13 +226,11 @@ def _estimate_stream_frames(dataset: StreamingFrameDataset, cfg) -> int | None:
 def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                   dataset: StreamingFrameDataset,
                   total_num_batches: int) -> L.TrainContext:
-    """On-device stream trainer: frames uploaded once, the scan body gathers
-    each batch by index; per-dispatch host traffic is one (chunk, batch)
-    int32 array (~KBs) instead of (chunk*batch, segment) audio (~hundreds of
-    MB)."""
-    import itertools
-
+    """On-device stream trainer: frames uploaded once; the scan body gathers
+    each batch by index, so per-dispatch host traffic is one (chunk, batch)
+    int32 array (~KBs) instead of (chunk*batch, segment) audio rows."""
     import jax.numpy as jnp
+    import optax
 
     from rawaudiovae_kelsey_tpu.parallel.step import (
         _matmul_precision,
@@ -225,12 +244,17 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     hist_every = cfg.tpu.histogram_interval
     lr = cfg.training.learning_rate
 
+    start_batch = ctx.start_step
+    if total_num_batches - start_batch <= 0:
+        print("Nothing to do: checkpoint already covers the frame budget.")
+        return ctx
+
     dtype = jnp.bfloat16 if cfg.tpu.precision == "bfloat16" else jnp.float32
     frames_np = dataset.all_frames()
     dev_frames = jax.device_put(jnp.asarray(frames_np, dtype))
     del frames_np
 
-    # chunk = steps per dispatch; align with the checkpoint cadence
+    # chunk = steps per dispatch; truncated to land on checkpoint boundaries
     chunk = min(16, interval or 16, total_num_batches) or 1
 
     optimizer = build_optimizer(cfg)
@@ -248,8 +272,6 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 grads = jax.tree_util.tree_map(
                     lambda g: g.astype(jnp.float32), grads
                 )
-                import optax
-
                 updates, opt_state = optimizer.update(
                     grads, s.opt_state, s.params
                 )
@@ -260,12 +282,13 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
             return jax.lax.scan(body, state, idx_chunk)
 
-    start_batch = ctx.start_step
-    remaining = total_num_batches - start_batch
     plan = dataset.index_batches(batch_size)
     # resume: consume the indices the finished batches already used
     for _ in range(start_batch):
         next(plan)
+    # the decoded per-file cache served all_frames()/the plan's counts; the
+    # data now lives on device — release the host copy
+    dataset.release_cache()
     print(f"Device-resident stream: {dev_frames.shape[0]:,} frames "
           f"({dev_frames.nbytes / 1e6:,.0f} MB on device), "
           f"{chunk} steps/dispatch")
@@ -290,8 +313,6 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
     # stage index chunks onto the device ahead of consumption (the idx
     # upload is the only remaining per-chunk host-link dependency)
-    from rawaudiovae_kelsey_tpu.data.loader import prefetch_to_device
-
     def chunk_plan():
         bid = start_batch
         while bid < total_num_batches:
@@ -302,6 +323,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             bid += k
 
     staged = prefetch_to_device(chunk_plan(), depth=3)
+    hist_marker = (start_batch // hist_every) if hist_every else 0
 
     ctx.timer.start()
     for idx_dev in staged:
@@ -312,19 +334,23 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
         if verbose:
             print(f"Batch {batch_id}/{total_num_batches}")
-        if hist_every and batch_id % hist_every == 0:
+        if hist_every and batch_id // hist_every != hist_marker:
+            # cadence by crossing multiples (batch_id advances by chunk)
+            hist_marker = batch_id // hist_every
             L.log_param_histograms(ctx, batch_id)
         if stop:
-            step_time = ctx.timer.stop()
+            staged.close()
+            drain()
             print(f"Interrupted at batch {batch_id}; checkpointing.")
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
                                        label=batch_id)
             return ctx
-        if interval and batch_id % interval == 0 and                 batch_id != total_num_batches:
+        if interval and batch_id % interval == 0 and \
+                batch_id != total_num_batches:
+            drain()
             step_time = ctx.timer.stop()
-            ctx.timer.start()
             print(f"Checkpoint - Batch {batch_id} "
-                  f"({interval * cfg.training.batch_size / max(step_time, 1e-9):,.0f} frames/s)")
+                  f"({interval * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
@@ -332,6 +358,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             L.maybe_save_best(ctx, window_loss / max(window_count, 1),
                               batch_id, after=0)
             window_loss, window_count = 0.0, 0
+            ctx.timer.start()  # exclude checkpoint I/O from the next window
 
     drain()
     print(f"Last Checkpoint - Batch {total_num_batches}")

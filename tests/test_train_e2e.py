@@ -232,3 +232,45 @@ def test_stream_trainer_device_resident(scratch_dataset):
     assert "test_reconst_00020.wav" in recs
     assert (ws.checkpoint_dir / "ckpt_00020.npz").exists()
     assert (ws.model_dir / "last_model.npz").exists()
+
+
+def test_resident_stream_best_gate_uses_real_losses(scratch_dataset):
+    """Review regression: the resident stream's best-model gate must see the
+    drained window losses (it previously compared empty 0.0 windows and froze
+    best_model at the first checkpoint)."""
+    import json
+
+    from rawaudiovae_kelsey_tpu.train.stream import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.training.total_num_frames = 32 * 24
+    cfg.training.checkpoint_interval = 8
+    ctx = train(cfg, verbose=False)
+    assert np.isfinite(ctx.best_loss) and ctx.best_loss > 0.0
+    metas = sorted(ctx.workspace.checkpoint_dir.glob("ckpt_*.json"))
+    best_losses = [json.loads(m.read_text()).get("best_loss") for m in metas]
+    assert all(b is None or b > 0.0 for b in best_losses), best_losses
+    # TB got the per-batch loss history (drain happened)
+    import glob
+
+    tb = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_file_loader"
+    )
+    (f,) = glob.glob(str(ctx.workspace.log_dir / "events.out.tfevents.*"))
+    n_loss = sum(
+        1 for e in tb.LegacyEventFileLoader(f).Load()
+        for v in e.summary.value if v.tag == "Loss/Batch"
+    )
+    assert n_loss == 24
+
+
+def test_resident_stream_always_over_budget_raises(scratch_dataset):
+    from rawaudiovae_kelsey_tpu.train.stream import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.tpu.resident_budget_gb = 1e-9  # nothing fits
+    cfg.training.total_num_frames = 32 * 4
+    with pytest.raises(ValueError, match="device_resident=always"):
+        train(cfg, verbose=False)

@@ -162,3 +162,21 @@ def test_truncated_payload_drops_partial_sample(tmp_path):
     out, sr = read_wav(p)
     assert len(out) == 99
     np.testing.assert_array_equal(out[:, 0], wave[:99])
+
+
+def test_wav_info_header_only(tmp_path):
+    wave = np.sin(np.linspace(0, 10, 54321)).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, wave, 22050)
+    from rawaudiovae_kelsey_tpu.io import wav_info
+
+    n, ch, sr, bits = wav_info(p)
+    assert (n, ch, sr, bits) == (54321, 1, 22050, 32)
+    # stereo pcm16
+    stereo = np.zeros((1000, 2), np.float32)
+    p2 = tmp_path / "s.wav"
+    write_wav(p2, stereo, 48000, subtype="pcm16")
+    assert wav_info(p2) == (1000, 2, 48000, 16)
+    with pytest.raises(WavFormatError):
+        (tmp_path / "bad.wav").write_bytes(b"nope")
+        wav_info(tmp_path / "bad.wav")
