@@ -103,7 +103,7 @@ def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
 
 
 def bench_synth(batch_size: int, steps: int, precision: str,
-                backend: str) -> float:
+                backend: str, quantize: bool = False) -> float:
     """Real-time synthesis factor (BASELINE.json "metric"): how many seconds
     of 44.1 kHz audio the decode path (latent → waveform) produces per
     wall-clock second, measured on device-resident latents."""
@@ -122,12 +122,21 @@ def bench_synth(batch_size: int, steps: int, precision: str,
     cfg.tpu.backend = backend
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    if precision == "bfloat16":
-        params = jax.tree_util.tree_map(
-            lambda p: p.astype(jnp.bfloat16), params
+    if quantize:
+        from rawaudiovae_kelsey_tpu.ops import (
+            quantize_decoder,
+            quantized_decoder_fwd,
         )
 
-    decode = jax.jit(lambda z: model.decode(params, z))
+        qparams = quantize_decoder(params)
+        decode = jax.jit(lambda z: quantized_decoder_fwd(qparams, z))
+        precision = "float32"  # int8 path takes fp32 latents
+    else:
+        if precision == "bfloat16":
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), params
+            )
+        decode = jax.jit(lambda z: model.decode(params, z))
     z = jnp.asarray(
         np.random.default_rng(0).standard_normal((batch_size, LATENT))
         .astype(np.float32)
@@ -204,6 +213,8 @@ def main() -> None:
     ap.add_argument("--backend", type=str, default="pallas",
                     help="pallas (default; fastest, parity-tested) | xla")
     ap.add_argument("--no-torch", action="store_true")
+    ap.add_argument("--quantize", action="store_true",
+                    help="synth metric: int8 weight-only Pallas decode")
     ap.add_argument("--chain", type=int, default=10,
                     help="optimizer steps per dispatch (lax.scan); "
                          "amortizes host dispatch latency")
@@ -218,7 +229,7 @@ def main() -> None:
 
     if args.metric == "synth":
         rtf = bench_synth(args.batch, args.steps, args.precision,
-                          args.backend)
+                          args.backend, quantize=args.quantize)
         print(json.dumps({
             "metric": "realtime_synth_factor",
             "value": round(rtf, 1),

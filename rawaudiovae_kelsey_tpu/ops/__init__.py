@@ -3,6 +3,10 @@ from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (  # noqa: F401
     decoder_fwd,
     encoder_bwd,
     encoder_fwd,
+    grad_accum,
+    matmul_nt,
+    matmul_nt2_mask,
+    matmul_nt_mask,
     pallas_decode,
     pallas_encode,
 )
