@@ -134,3 +134,120 @@ def build_resident_epoch(
             return state, losses
 
     return jax.jit(run_epoch, donate_argnums=(0,)), n_batches
+
+
+def pad_frames_for_mesh(frames: np.ndarray, n_shards: int) -> np.ndarray:
+    """Wrap-pad the frame matrix so rows divide evenly across shards."""
+    rem = len(frames) % n_shards
+    if rem == 0:
+        return frames
+    extra = n_shards - rem
+    reps = -(-extra // max(len(frames), 1))
+    fill = np.concatenate([frames] * reps, axis=0)[:extra]
+    return np.concatenate([frames, fill], axis=0)
+
+
+def build_resident_epoch_sharded(
+    model: ModelDef,
+    cfg: Config,
+    optimizer: optax.GradientTransformation,
+    n_frames_padded: int,
+    mesh,
+) -> Tuple[Callable, int]:
+    """Multi-chip resident epochs: the frame matrix is sharded over the mesh
+    ``data`` axis; every chip draws its per-epoch local permutation, gathers
+    its ``batch/n`` rows per step, and the single collective is the gradient
+    pmean — whole epochs on-chip across the whole mesh.
+
+    Semantics note: shuffling is per-shard (each chip permutes its own
+    contiguous block of frames) rather than a global permutation — the same
+    kind of locality-restricted shuffle sharded data loaders use.  Frames
+    must be padded to the shard count first (:func:`pad_frames_for_mesh`).
+
+    Returns ``(run_epoch, n_batches)``;
+    ``run_epoch(state, sharded_frames, epoch) -> (state', losses)``.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
+
+    batch = cfg.training.batch_size
+    n_shards = mesh.shape[DATA_AXIS]
+    if batch % n_shards:
+        raise ValueError(
+            f"batch_size {batch} not divisible by data shards {n_shards}"
+        )
+    local_bs = batch // n_shards
+    n_local = n_frames_padded // n_shards
+    n_batches = n_local // local_bs
+    if n_batches == 0:
+        raise ValueError(
+            f"{n_local} frames/shard < one local batch of {local_bs}"
+        )
+    loss_fn = make_loss_fn(model, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    prec = _matmul_precision(cfg.tpu.precision)
+    reduce = (jax.lax.psum
+              if cfg.training.loss_reduction.split()[0] == "sum"
+              else jax.lax.pmean)
+
+    def per_shard(state: TrainState, frames_local, epoch):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        perm_key = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.fold_in(state.rng, 0x5EED), epoch
+            ),
+            shard,
+        )
+        perm = jax.random.permutation(perm_key, n_local)[
+            : n_batches * local_bs
+        ].reshape(n_batches, local_bs)
+
+        def body(s, starts):
+            xb = frames_local[starts]
+            key = jax.random.fold_in(
+                jax.random.fold_in(s.rng, s.step), shard
+            )
+            (loss, _aux), grads = grad_fn(s.params, key, xb)
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads
+            )
+            grads = reduce(grads, DATA_AXIS)
+            loss = reduce(loss, DATA_AXIS)
+            updates, opt_state = optimizer.update(
+                grads, s.opt_state, s.params
+            )
+            return TrainState(
+                params=optax.apply_updates(s.params, updates),
+                opt_state=opt_state, rng=s.rng, step=s.step + 1,
+            ), loss
+
+        return jax.lax.scan(body, state, perm)
+
+    mapped = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def run_epoch(state, sharded_frames, epoch):
+        with jax.default_matmul_precision(prec):
+            return mapped(state, sharded_frames, epoch)
+
+    return jax.jit(run_epoch, donate_argnums=(0,)), n_batches
+
+
+def put_frames_sharded(frames: np.ndarray, cfg: Config, mesh) -> "jax.Array":
+    """Upload the (padded) frame matrix sharded over the data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
+
+    dtype = jnp.bfloat16 if cfg.tpu.precision == "bfloat16" else jnp.float32
+    return jax.device_put(
+        jnp.asarray(frames, dtype),
+        NamedSharding(mesh, P(DATA_AXIS, None)),
+    )

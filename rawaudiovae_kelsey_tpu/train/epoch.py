@@ -80,12 +80,18 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
 
     dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
     budget = int(cfg.tpu.resident_budget_gb * (1 << 30))
+    n_shards = ctx.mesh.shape["data"] if ctx.mesh is not None else 1
+    # per-device budget: under a mesh the frame matrix shards over 'data'
     layout = R.choose_layout(n_samples, cfg.audio.segment_length,
-                             cfg.audio.hop_length, dtype_bytes, budget)
+                             cfg.audio.hop_length, dtype_bytes,
+                             budget * n_shards)
+    mesh_ok = (ctx.mesh is None
+               or (cfg.tpu.model_parallel <= 1 and layout == "frames"
+                   and batch_size % n_shards == 0))
     use_resident = (
-        ctx.mesh is None
-        and cfg.tpu.device_resident != "never"
+        cfg.tpu.device_resident != "never"
         and layout is not None
+        and mesh_ok
     )
     if use_resident and len(dataset) >= batch_size:
         return _run_resident(ctx, cfg, verbose, stop, corpus, n_samples,
@@ -199,13 +205,33 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
 
     optimizer = build_optimizer(cfg)
-    run_epoch, n_batches = R.build_resident_epoch(
-        ctx.model, cfg, optimizer, n_samples, layout=layout
-    )
-    dev_corpus = R.put_resident(corpus, cfg, layout)
-    print(f"Device-resident corpus ({layout} layout): {n_samples:,} samples "
-          f"({dev_corpus.nbytes / 1e6:,.0f} MB on device), "
-          f"{n_batches} batches/epoch in one compiled call")
+    if ctx.mesh is not None:
+        # mesh-sharded resident: frame matrix sharded over 'data', one pmean
+        # per step, whole epochs on-chip across the mesh
+        from rawaudiovae_kelsey_tpu.data.framing import overlapping_frames
+
+        frames = np.asarray(overlapping_frames(
+            corpus, cfg.audio.segment_length, cfg.audio.hop_length
+        ))
+        n_shards = ctx.mesh.shape["data"]
+        frames = R.pad_frames_for_mesh(frames, n_shards)
+        dev_corpus = R.put_frames_sharded(frames, cfg, ctx.mesh)
+        run_epoch, n_batches = R.build_resident_epoch_sharded(
+            ctx.model, cfg, optimizer, len(frames), ctx.mesh
+        )
+        del frames
+        print(f"Device-resident corpus (sharded over {n_shards} devices): "
+              f"{dev_corpus.shape[0]:,} frames "
+              f"({dev_corpus.nbytes / 1e6:,.0f} MB total), "
+              f"{n_batches} batches/epoch in one compiled call")
+    else:
+        run_epoch, n_batches = R.build_resident_epoch(
+            ctx.model, cfg, optimizer, n_samples, layout=layout
+        )
+        dev_corpus = R.put_resident(corpus, cfg, layout)
+        print(f"Device-resident corpus ({layout} layout): {n_samples:,} "
+              f"samples ({dev_corpus.nbytes / 1e6:,.0f} MB on device), "
+              f"{n_batches} batches/epoch in one compiled call")
 
     batch_size = cfg.training.batch_size
     epochs = cfg.training.epochs
@@ -216,14 +242,25 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     if start_epoch:
         print(f"Resuming at epoch {start_epoch}")
 
+    # profiler window: trace the whole epoch containing profile_start (the
+    # per-step window of the host-fed loop has no analog when an epoch is
+    # one compiled call)
+    profile_epoch = (cfg.tpu.profile_start // max(n_batches, 1)
+                     if cfg.tpu.profile_steps > 0 else -1)
+
     for epoch in range(start_epoch, epochs):
         if verbose:
             print(f"Epoch {epoch}/{epochs - 1}")
             print("-" * 10)
+        profiling = epoch == profile_epoch
+        if profiling:
+            jax.profiler.start_trace(str(ctx.workspace.log_dir / "profile"))
         ctx.timer.start()
         ctx.state, dev_losses = run_epoch(ctx.state, dev_corpus, epoch)
         losses = np.asarray(jax.device_get(dev_losses), np.float64)
         epoch_s = ctx.timer.stop()
+        if profiling:
+            jax.profiler.stop_trace()
 
         train_loss = float(losses.sum())
         for i, l in enumerate(losses):

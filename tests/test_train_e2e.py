@@ -274,3 +274,18 @@ def test_resident_stream_always_over_budget_raises(scratch_dataset):
     cfg.training.total_num_frames = 32 * 4
     with pytest.raises(ValueError, match="device_resident=always"):
         train(cfg, verbose=False)
+
+
+def test_epoch_trainer_mesh_sharded_resident(scratch_dataset):
+    """Auto mode on the 8-device mesh takes the sharded-resident path: whole
+    epochs on the mesh, complete workspace contract."""
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.training.epochs = 3
+    cfg.training.checkpoint_interval = 2
+    # auto-resident on the mesh (corpus tiny; batch 32 divides 8 devices)
+    ctx = train(cfg, verbose=True)
+    assert ctx.mesh is not None
+    assert (ctx.workspace.model_dir / "last_model.npz").exists()
+    assert list(ctx.workspace.audio_log_dir.glob("test_reconst_*.wav"))
