@@ -289,3 +289,17 @@ def test_epoch_trainer_mesh_sharded_resident(scratch_dataset):
     assert ctx.mesh is not None
     assert (ctx.workspace.model_dir / "last_model.npz").exists()
     assert list(ctx.workspace.audio_log_dir.glob("test_reconst_*.wav"))
+
+
+def test_epoch_trainer_host_fed_mesh_path(scratch_dataset):
+    """device_resident=never keeps the host-fed prefetcher path (with mesh
+    batch padding) exercised."""
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "never"
+    cfg.training.epochs = 2
+    cfg.training.checkpoint_interval = 0
+    ctx = train(cfg, verbose=False)
+    assert ctx.mesh is not None  # really ran under the 8-device mesh
+    assert (ctx.workspace.model_dir / "last_model.npz").exists()
