@@ -185,3 +185,29 @@ int64_t ta_decode_mono(const uint8_t* data, int64_t len, float* out,
 int ta_abi_version() { return 1; }
 
 }  // extern "C"
+
+extern "C" {
+
+// Castagnoli CRC32C over a buffer (for the TensorBoard TFRecord framing —
+// the pure-Python per-byte loop costs seconds on multi-MB audio events).
+uint32_t ta_crc32c(const uint8_t* data, int64_t len) {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t n = 0; n < 256; ++n) {
+      uint32_t c = n;
+      for (int k = 0; k < 8; ++k) {
+        c = (c & 1) ? (c >> 1) ^ 0x82F63B78u : c >> 1;
+      }
+      table[n] = c;
+    }
+    init = true;
+  }
+  uint32_t crc = 0xFFFFFFFFu;
+  for (int64_t i = 0; i < len; ++i) {
+    crc = table[(crc ^ data[i]) & 0xFFu] ^ (crc >> 8);
+  }
+  return crc ^ 0xFFFFFFFFu;
+}
+
+}  // extern "C"

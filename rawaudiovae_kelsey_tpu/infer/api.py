@@ -56,6 +56,11 @@ def frame_audio(audio: np.ndarray, segment_length: int,
 def _run_batched(fn, frames: np.ndarray, batch_size: int):
     outs = []
     n = len(frames)
+    if n == 0:
+        raise ValueError(
+            "no frames to process — audio is shorter than one segment "
+            "(or an empty trajectory was passed)"
+        )
     for i in range(0, n, batch_size):
         chunk = frames[i:i + batch_size]
         pad = 0
@@ -212,12 +217,15 @@ def encode_trajectory_sharded(model: ModelDef, params, audio: np.ndarray,
     frames = frame_audio(np.asarray(audio, np.float32),
                          model.segment_length, hop)
     n = len(frames)
+    if n == 0:
+        raise ValueError("audio shorter than one segment — nothing to encode")
     n_dev = mesh.devices.size
     chunk = batch_frames or n
     chunk += -chunk % n_dev
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    encode = jax.jit(lambda x: model.encode(params, x),
-                     in_shardings=sharding)
+    # reuse the cached per-model executable (jit caches per input sharding,
+    # so sharded calls compile once, not per invocation)
+    encode = functools.partial(_jitted_encode(model), params)
     mus, lvs = [], []
     for i in range(0, n, chunk):
         part = frames[i:i + chunk]

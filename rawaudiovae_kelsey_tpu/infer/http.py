@@ -18,28 +18,21 @@ from __future__ import annotations
 
 import io
 import json
-import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from pathlib import Path
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
 from rawaudiovae_kelsey_tpu.infer.server import InferenceServer
+from rawaudiovae_kelsey_tpu.io.resample import resample
 from rawaudiovae_kelsey_tpu.io.wavio import (
     WavFormatError,
-    read_wav,
+    decode_wav_bytes,
+    encode_wav_bytes,
     to_mono,
-    write_wav,
 )
-
-
-def _wav_bytes(wave: np.ndarray, sr: int) -> bytes:
-    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-        write_wav(tmp.name, wave, sr)
-        return Path(tmp.name).read_bytes()
 
 
 def _npz_bytes(**arrays) -> bytes:
@@ -73,11 +66,13 @@ class _Handler(BaseHTTPRequestHandler):
         return self.rfile.read(length)
 
     def _body_as_wave(self) -> np.ndarray:
-        data = self._read_body()
-        with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-            Path(tmp.name).write_bytes(data)
-            samples, _sr = read_wav(tmp.name)
-        return to_mono(samples, "mean")
+        samples, sr = decode_wav_bytes(self._read_body(), name="<request>")
+        wave = to_mono(samples, "mean")
+        if sr != self.sampling_rate:
+            # resample mismatched uploads to the model's rate rather than
+            # silently reconstructing pitch-shifted garbage
+            wave = resample(wave, sr, self.sampling_rate)
+        return wave
 
     # ------------------------------------------------------------ handlers --
     def do_GET(self):  # noqa: N802 (http.server API)
@@ -95,16 +90,16 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         parsed = urlparse(self.path)
-        q = parse_qs(parsed.query)
-        hop = int(q["hop"][0]) if "hop" in q else None
-        ola = q.get("ola", ["0"])[0] in ("1", "true")
         try:
+            q = parse_qs(parsed.query)
+            hop = int(q["hop"][0]) if "hop" in q else None
+            ola = q.get("ola", ["0"])[0] in ("1", "true")
             if parsed.path == "/reconstruct":
                 wave = self._body_as_wave()
                 out = self.backend.reconstruct(wave, hop=hop, ola=ola).result(
                     self.request_timeout_s
                 )
-                self._send(200, _wav_bytes(out, self.sampling_rate),
+                self._send(200, encode_wav_bytes(out, self.sampling_rate),
                            "audio/wav")
             elif parsed.path == "/encode":
                 wave = self._body_as_wave()
@@ -117,13 +112,17 @@ class _Handler(BaseHTTPRequestHandler):
                 with np.load(io.BytesIO(self._read_body())) as npz:
                     z = npz["z"]
                 frames = self.backend.decode(z).result(self.request_timeout_s)
-                self._send(200,
-                           _wav_bytes(frames.reshape(-1), self.sampling_rate),
-                           "audio/wav")
+                self._send(
+                    200,
+                    encode_wav_bytes(frames.reshape(-1), self.sampling_rate),
+                    "audio/wav",
+                )
             else:
                 self._send_json(404, {"error": "unknown path"})
         except WavFormatError as e:
             self._send_json(400, {"error": f"bad wav body: {e}"})
+        except (ValueError, TypeError) as e:
+            self._send_json(400, {"error": f"bad request: {e}"})
         except KeyError as e:
             self._send_json(400, {"error": f"missing array {e} in npz body"})
         except Exception as e:  # noqa: BLE001

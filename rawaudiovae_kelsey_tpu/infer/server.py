@@ -84,6 +84,17 @@ class InferenceServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        # fail any still-queued requests so callers blocked on result()
+        # don't hang forever
+        try:
+            while True:
+                req = self._q.get_nowait()
+                if not req.future.done():
+                    req.future.set_exception(
+                        RuntimeError("inference server stopped")
+                    )
+        except queue.Empty:
+            pass
 
     def __enter__(self):
         return self.start()
@@ -132,11 +143,19 @@ class InferenceServer:
                 continue
             group: List[_Request] = [first]
             rows = len(first.frames)
-            # coalesce same-kind requests up to one device batch
-            deadline = self.max_wait_s
+            # coalesce same-kind requests up to one device batch; the
+            # deadline SHRINKS so max_wait_ms bounds the added latency of
+            # the first request (a fresh timeout per get() would let it
+            # wait batch_size x max_wait in a slow trickle)
+            import time as _time
+
+            deadline = _time.monotonic() + self.max_wait_s
             while rows < self.batch_size:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    break
                 try:
-                    nxt = self._q.get(timeout=deadline)
+                    nxt = self._q.get(timeout=left)
                 except queue.Empty:
                     break
                 if nxt.kind != first.kind:

@@ -59,6 +59,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
         ]
+        if hasattr(lib, "ta_crc32c"):
+            lib.ta_crc32c.restype = ctypes.c_uint32
+            lib.ta_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         _lib = lib
     except OSError:
         _lib = None
@@ -72,9 +75,11 @@ def native_available() -> bool:
 def decode_mono(path, mono: str = "mean",
                 force_fallback: bool = False) -> Tuple[np.ndarray, int]:
     """Decode a wav file to (mono float32 wave, native sample rate)."""
-    data = Path(path).read_bytes()
+    if mono not in ("mean", "first"):
+        raise ValueError(f"unknown mono mode {mono!r}")
     lib = None if force_fallback else _load()
     if lib is not None:
+        data = Path(path).read_bytes()
         channels = ctypes.c_int32()
         rate = ctypes.c_int32()
         bits = ctypes.c_int32()
@@ -98,3 +103,11 @@ def decode_mono(path, mono: str = "mean",
 
     samples, sr = read_wav(path)
     return to_mono(samples, mode=mono), sr
+
+
+def native_crc32c(data: bytes):
+    """Castagnoli CRC via the C++ lib, or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ta_crc32c"):
+        return None
+    return int(lib.ta_crc32c(data, len(data)))

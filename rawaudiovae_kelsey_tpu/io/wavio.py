@@ -36,7 +36,14 @@ def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     Returns ``(samples, sample_rate)`` where ``samples`` is float32 in
     [-1, 1] with shape ``(num_frames, num_channels)``.
     """
-    data = Path(path).read_bytes()
+    return decode_wav_bytes(Path(path).read_bytes(), name=str(path))
+
+
+def decode_wav_bytes(data: bytes, name: str = "<bytes>"
+                     ) -> Tuple[np.ndarray, int]:
+    """Bytes-level decode (HTTP bodies, embedded payloads) — same contract
+    as :func:`read_wav`."""
+    path = name
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavFormatError(f"{path}: not a RIFF/WAVE file")
 
@@ -134,6 +141,12 @@ def write_wav(
     ``subtype``: ``"float32"`` (default — matches what ``soundfile.write``
     produced for the reference's float arrays at tests.py:41) or ``"pcm16"``.
     """
+    Path(path).write_bytes(encode_wav_bytes(samples, sample_rate, subtype))
+
+
+def encode_wav_bytes(samples: np.ndarray, sample_rate: int,
+                     subtype: str = "float32") -> bytes:
+    """Bytes-level encode — same contract as :func:`write_wav`."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -168,8 +181,7 @@ def write_wav(
         + b"data" + struct.pack("<I", len(payload)) + payload
     )
     riff = b"WAVE" + chunks
-    out = b"RIFF" + struct.pack("<I", len(riff)) + riff
-    Path(path).write_bytes(out)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def to_mono(samples: np.ndarray, mode: str = "mean") -> np.ndarray:

@@ -43,11 +43,24 @@ def _build_table():
 _build_table()
 
 
-def crc32c(data: bytes) -> int:
+def _crc32c_py(data: bytes) -> int:
     crc = 0xFFFFFFFF
     for b in data:
         crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+def crc32c(data: bytes) -> int:
+    """Castagnoli CRC — C++ fast path for large payloads (an audio event is
+    megabytes; the Python loop would stall the training loop for seconds),
+    pure-Python fallback otherwise."""
+    if len(data) > 4096:
+        from rawaudiovae_kelsey_tpu.io.native import native_crc32c
+
+        got = native_crc32c(data)
+        if got is not None:
+            return got
+    return _crc32c_py(data)
 
 
 def _masked_crc(data: bytes) -> int:
@@ -184,18 +197,10 @@ class EventWriter:
                   sample_rate: int = 44100) -> None:
         """audio: 1-D float waveform in [-1, 1] (the reference passed the
         flattened reconstruction, train.py:237)."""
-        from rawaudiovae_kelsey_tpu.io.wavio import write_wav
-        import tempfile, os
+        from rawaudiovae_kelsey_tpu.io.wavio import encode_wav_bytes
 
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
-        # encode via our codec (write_wav targets paths; use a temp buffer)
-        tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
-        tmp.close()
-        try:
-            write_wav(tmp.name, audio, sample_rate)
-            wav_bytes = Path(tmp.name).read_bytes()
-        finally:
-            os.unlink(tmp.name)
+        wav_bytes = encode_wav_bytes(audio, sample_rate)
         audio_msg = _f_float(1, float(sample_rate))
         audio_msg += _f_int64(2, 1)                 # num_channels
         audio_msg += _f_int64(3, len(audio))        # length_frames
