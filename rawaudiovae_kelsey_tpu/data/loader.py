@@ -27,11 +27,12 @@ class DevicePrefetcher:
     _SENTINEL = object()
 
     def __init__(self, host_iter: Iterator, depth: int = 2, sharding=None,
-                 cast_dtype=None):
+                 cast_dtype=None, put_fn=None):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
         self._sharding = sharding
         self._cast_dtype = cast_dtype
+        self._put_fn = put_fn
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(host_iter,), daemon=True
@@ -47,7 +48,11 @@ class DevicePrefetcher:
                     import ml_dtypes  # numpy bf16 support (jax dependency)
 
                     batch = batch.astype(self._cast_dtype)
-                if self._sharding is not None:
+                if self._put_fn is not None:
+                    # multihost: assemble the global array from this host's
+                    # local rows (plain device_put can't span processes)
+                    batch = self._put_fn(batch)
+                elif self._sharding is not None:
                     batch = jax.device_put(batch, self._sharding)
                 else:
                     batch = jax.device_put(batch)
@@ -88,12 +93,13 @@ class DevicePrefetcher:
 
 
 def prefetch_to_device(host_iter: Iterator, depth: int = 2, sharding=None,
-                       cast_dtype=None) -> DevicePrefetcher:
+                       cast_dtype=None, put_fn=None) -> DevicePrefetcher:
     """Background device feed.  ``cast_dtype`` (e.g. ml_dtypes.bfloat16)
     converts batches on the host thread before transfer — halves
-    host→device bandwidth for bf16 training ([tpu] feed_dtype)."""
+    host→device bandwidth for bf16 training ([tpu] feed_dtype).
+    ``put_fn`` overrides placement (multihost global-batch assembly)."""
     return DevicePrefetcher(host_iter, depth=depth, sharding=sharding,
-                            cast_dtype=cast_dtype)
+                            cast_dtype=cast_dtype, put_fn=put_fn)
 
 
 def pad_batches_for_mesh(host_iter: Iterator, n_devices: int) -> Iterator:

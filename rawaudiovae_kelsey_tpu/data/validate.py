@@ -20,7 +20,11 @@ from typing import List
 
 import numpy as np
 
-from rawaudiovae_kelsey_tpu.io.wavio import WavFormatError, read_wav
+from rawaudiovae_kelsey_tpu.io.wavio import (
+    WavFormatError,
+    read_wav,
+    wav_info,
+)
 
 
 @dataclass
@@ -66,11 +70,15 @@ def validate_dataset(folder: Path, sampling_rate: int,
     for f in sorted(folder.glob("*.wav")):
         report.n_files += 1
         try:
-            samples, sr = read_wav(f)
+            if deep:
+                samples, sr = read_wav(f)
+                n = len(samples)
+            else:
+                # header scan only — KBs of I/O per file, no decode
+                n, _ch, sr, _bits = wav_info(f)
         except (WavFormatError, OSError):
             report.corrupt.append(f.name)
             continue
-        n = len(samples)
         report.total_samples += n
         report.total_duration_s += n / max(sr, 1)
         if sr != sampling_rate:

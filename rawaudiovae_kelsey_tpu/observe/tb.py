@@ -163,8 +163,10 @@ class EventWriter:
     def __init__(self, log_dir: Union[str, Path]):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
-        fname = "events.out.tfevents.{:.0f}.{}".format(
-            time.time(), socket.gethostname()
+        import os
+
+        fname = "events.out.tfevents.{:.0f}.{}.{}".format(
+            time.time(), socket.gethostname(), os.getpid()
         )
         self._fh = open(self.log_dir / fname, "ab")
         self._write_event(_event(_f_str(3, "brain.Event:2")))

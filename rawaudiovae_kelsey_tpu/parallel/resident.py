@@ -67,7 +67,13 @@ def put_resident(corpus: np.ndarray, cfg: Config, layout: str) -> jax.Array:
             cfg.audio.segment_length, cfg.audio.hop_length,
         )
         return jax.device_put(jnp.asarray(frames, dtype))
-    return jax.device_put(jnp.asarray(corpus, dtype))
+    # corpus layout: pad the tail like the host framer does — without it the
+    # last windows' dynamic_slice would clamp and re-read earlier samples
+    from rawaudiovae_kelsey_tpu.data.framing import pad_to_multiple
+
+    padded = pad_to_multiple(np.asarray(corpus, np.float32),
+                             cfg.audio.hop_length)
+    return jax.device_put(jnp.asarray(padded, dtype))
 
 
 def build_resident_epoch(

@@ -104,6 +104,9 @@ def build_train_step(
     micro = cfg.tpu.microbatch_size
     seg = model.segment_length
     prec = _matmul_precision(cfg.tpu.precision)
+    # mean-reduced losses average microbatch grads; sum-reduced losses SUM
+    # them (averaging would silently scale the effective LR by 1/n_micro)
+    mean_reduced = cfg.training.loss_reduction.split()[0] == "mean"
 
     def step_fn(state: TrainState, batch: jax.Array):
         with jax.default_matmul_precision(prec):
@@ -143,7 +146,7 @@ def build_train_step(
                     (zeros, 0.0, 0.0, 0.0),
                     (jnp.arange(n_micro), mbs),
                 )
-                inv = 1.0 / n_micro
+                inv = (1.0 / n_micro) if mean_reduced else 1.0
                 grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
                 loss, mse, kld = lsum * inv, msum * inv, ksum * inv
             else:

@@ -79,8 +79,13 @@ def save_checkpoint(ckpt_dir: Path, state: TrainState,
     step = int(jax.device_get(state.step))
     if label is None:
         label = step
-    arrays, _ = _flatten_with_meta(state)
     path = ckpt_dir / f"ckpt_{label:05d}.npz"
+    if jax.process_index() != 0:
+        # multihost: only the coordinator writes (concurrent writers on
+        # shared storage would interleave into a corrupt file); for sharded
+        # multihost state use the orbax format instead
+        return path
+    arrays, _ = _flatten_with_meta(state)
     tmp = path.with_suffix(".npz.tmp")
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)

@@ -96,8 +96,27 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     if use_resident and len(dataset) >= batch_size:
         return _run_resident(ctx, cfg, verbose, stop, corpus, n_samples,
                              len(dataset), layout)
+    if cfg.tpu.device_resident == "always":
+        raise ValueError(
+            "device_resident=always but the corpus does not fit "
+            f"resident_budget_gb={cfg.tpu.resident_budget_gb} (layout="
+            f"{layout!r}) or the mesh/batch layout is incompatible; raise "
+            "the budget or use device_resident=auto"
+        )
 
-    n_batches = dataset.num_batches(batch_size)
+    multihost = jax.process_count() > 1 and ctx.mesh is not None
+    if multihost:
+        # per-host corpora differ → align on the minimum full-batch count
+        # (drop_last semantics) so every process enters each collective
+        from jax.experimental import multihost_utils
+
+        local = dataset.num_batches(batch_size, drop_last=True)
+        counts = multihost_utils.process_allgather(np.asarray(local))
+        n_batches = int(np.min(counts))
+        if n_batches == 0:
+            raise ValueError("a host has fewer frames than one batch")
+    else:
+        n_batches = dataset.num_batches(batch_size)
     sharding = batch_sharding(ctx.mesh) if ctx.mesh is not None else None
 
     epochs = cfg.training.epochs
@@ -105,8 +124,12 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     lr = cfg.training.learning_rate
     train_loss = float("inf")
 
-    # resume: ctx.start_step counts optimizer updates; whole epochs only
-    start_epoch = min(ctx.start_step // max(n_batches, 1), epochs)
+    # resume: ctx.start_step counts optimizer updates; whole epochs only.
+    # Round UP: a mid-epoch interrupt checkpoint resumes at the NEXT epoch
+    # (re-applying the already-trained partial epoch to an advanced state
+    # would double-train that data; skipping the unseen remainder of one
+    # epoch is the safer distortion — see DIVERGENCES.md)
+    start_epoch = min(-(-ctx.start_step // max(n_batches, 1)), epochs)
     if start_epoch:
         print(f"Resuming at epoch {start_epoch}")
 
@@ -123,14 +146,36 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             print(f"Epoch {epoch}/{epochs - 1}")
             print("-" * 10)
 
-        host_iter = dataset.batches(batch_size, shuffle=True,
-                                    seed=cfg.tpu.seed + epoch)
-        if ctx.mesh is not None:
-            from rawaudiovae_kelsey_tpu.data.loader import pad_batches_for_mesh
+        if multihost:
+            import itertools as _it
 
-            host_iter = pad_batches_for_mesh(host_iter, ctx.mesh.devices.size)
-        feed = prefetch_to_device(host_iter, depth=cfg.tpu.prefetch,
-                                  sharding=sharding, cast_dtype=_feed_dtype(cfg))
+            from rawaudiovae_kelsey_tpu.parallel.mesh import (
+                global_batch_from_local,
+            )
+
+            host_iter = _it.islice(
+                dataset.batches(batch_size, shuffle=True,
+                                seed=cfg.tpu.seed + epoch, drop_last=True),
+                n_batches,
+            )
+            feed = prefetch_to_device(
+                host_iter, depth=cfg.tpu.prefetch,
+                cast_dtype=_feed_dtype(cfg),
+                put_fn=lambda b: global_batch_from_local(ctx.mesh, b),
+            )
+        else:
+            host_iter = dataset.batches(batch_size, shuffle=True,
+                                        seed=cfg.tpu.seed + epoch)
+            if ctx.mesh is not None:
+                from rawaudiovae_kelsey_tpu.data.loader import (
+                    pad_batches_for_mesh,
+                )
+
+                host_iter = pad_batches_for_mesh(host_iter,
+                                                 ctx.mesh.devices.size)
+            feed = prefetch_to_device(host_iter, depth=cfg.tpu.prefetch,
+                                      sharding=sharding,
+                                      cast_dtype=_feed_dtype(cfg))
         batch_metrics = []
         ctx.timer.start()
         for batch in feed:
@@ -155,7 +200,7 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
             return ctx
 
-        losses = [float(jax.device_get(l)) for l in batch_metrics]
+        losses = [float(l) for l in jax.device_get(batch_metrics)]
         train_loss = float(np.sum(losses))
         for i, l in enumerate(losses):
             gstep = epoch * n_batches + i
@@ -238,7 +283,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     interval = cfg.training.checkpoint_interval
     lr = cfg.training.learning_rate
     train_loss = float("inf")
-    start_epoch = min(ctx.start_step // max(n_batches, 1), epochs)
+    start_epoch = min(-(-ctx.start_step // max(n_batches, 1)), epochs)
     if start_epoch:
         print(f"Resuming at epoch {start_epoch}")
 

@@ -181,6 +181,11 @@ def reconstruct_test_set(ctx: TrainContext, step_label: int) -> np.ndarray:
             batch = np.concatenate([batch, batch[:1].repeat(pad, 0)], axis=0)
         recon = ctx.eval_step(params, jax.random.fold_in(key, i),
                               jnp.asarray(batch))
+        if jax.process_count() > 1:
+            # global array spans processes — gather it everywhere first
+            from jax.experimental import multihost_utils
+
+            recon = multihost_utils.process_allgather(recon, tiled=True)
         outs.append(np.asarray(jax.device_get(recon))[:n])
     wave = np.concatenate(outs, axis=0).reshape(-1)
     if ctx.cfg.extra.normalize_examples:

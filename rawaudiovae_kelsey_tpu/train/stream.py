@@ -119,10 +119,21 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         print("Nothing to do: checkpoint already covers the frame budget.")
         return ctx
 
+    # islice(start, stop): regenerating and SKIPPING the first start_batch
+    # batches keeps the stream order aligned on resume (taking the first
+    # `remaining` would retrain already-seen data and drop the tail)
+    put_fn = None
+    if jax.process_count() > 1 and ctx.mesh is not None:
+        from rawaudiovae_kelsey_tpu.parallel.mesh import (
+            global_batch_from_local,
+        )
+
+        put_fn = lambda b: global_batch_from_local(ctx.mesh, b)  # noqa: E731
     feed = prefetch_to_device(
-        itertools.islice(dataset.batches(batch_size), remaining),
-        depth=cfg.tpu.prefetch, sharding=sharding,
-        cast_dtype=_feed_dtype(cfg),
+        itertools.islice(dataset.batches(batch_size), start_batch,
+                         start_batch + remaining),
+        depth=cfg.tpu.prefetch, sharding=None if put_fn else sharding,
+        cast_dtype=_feed_dtype(cfg), put_fn=put_fn,
     )
 
     pending = []  # (batch_id, device_loss) — drained off the hot path
@@ -133,8 +144,13 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
 
     def drain():
         nonlocal train_loss_accum, window_loss, window_count
-        for bid, dev_loss in pending:
-            l = float(jax.device_get(dev_loss))
+        if not pending:
+            return
+        # one transfer for all buffered scalars (a per-scalar device_get
+        # costs a full host<->device round trip each)
+        values = jax.device_get([dl for _, dl in pending])
+        for (bid, _), l in zip(pending, values):
+            l = float(l)
             train_loss_accum += l
             window_loss += l
             window_count += 1
@@ -189,8 +205,10 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         L.reconstruct_test_set(ctx, total_num_batches)
     L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
                                label=total_num_batches)
-    L.maybe_save_best(ctx, window_loss / max(window_count, 1),
-                      total_num_batches, after=0)
+    if window_count:  # an empty window (final batch == a checkpoint
+        # boundary) must not feed the best gate a fake 0.0
+        L.maybe_save_best(ctx, window_loss / window_count,
+                          total_num_batches, after=0)
     L.save_last(ctx)
     return ctx
 
@@ -366,7 +384,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         L.reconstruct_test_set(ctx, total_num_batches)
     L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
                                label=total_num_batches)
-    L.maybe_save_best(ctx, window_loss / max(window_count, 1),
-                      total_num_batches, after=0)
+    if window_count:
+        L.maybe_save_best(ctx, window_loss / window_count,
+                          total_num_batches, after=0)
     L.save_last(ctx)
     return ctx

@@ -102,3 +102,85 @@ def test_two_process_distributed_step(tmp_path):
     assert len(losses) == 2 and losses[0] == losses[1], outs
     assert any("coordinator=True" in o for o in outs)
     assert any("coordinator=False" in o for o in outs)
+
+
+DRIVER_WORKER = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+datapath = sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=2,
+    process_id=proc_id,
+)
+
+import numpy as np
+
+from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.train.epoch import train
+
+cfg = Config()
+cfg.dataset.datapath = datapath
+cfg.dataset.generate_test = False
+cfg.audio.segment_length = 256
+cfg.audio.hop_length = 64
+cfg.vae.n_units = 64
+cfg.vae.latent_dim = 16
+cfg.training.batch_size = 16
+cfg.training.epochs = 2
+cfg.training.checkpoint_interval = 0
+cfg.extra.description = f"mh_epoch"
+cfg.tpu.device_resident = "never"   # exercise the host-fed multihost feed
+ctx = train(cfg, verbose=False)
+loss = float(ctx.best_loss) if np.isfinite(ctx.best_loss) else -1.0
+print(f"proc{proc_id} done mesh={ctx.mesh is not None} "
+      f"procs={jax.process_count()}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_epoch_driver(tmp_path):
+    """The REAL epoch driver across 2 processes: per-host file sharding,
+    global batches assembled from process-local rows, aligned batch counts,
+    coordinator-only checkpoint writes."""
+    import socket
+
+    import numpy as np
+
+    from rawaudiovae_kelsey_tpu.io import write_wav
+
+    (tmp_path / "audio").mkdir()
+    rng = np.random.default_rng(0)
+    # 4 files of different sizes → hosts get different corpora
+    for i, n in enumerate([9000, 12000, 7000, 15000]):
+        write_wav(tmp_path / "audio" / f"t{i}.wav",
+                  rng.uniform(-0.5, 0.5, n).astype(np.float32), 44100)
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(DRIVER_WORKER)
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        port = str(sk.getsockname()[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), port, str(tmp_path)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    assert all("done mesh=True procs=2" in o for o in outs), outs
+    # exactly one run dir (both processes raced create_workspace — each made
+    # its own run dir is acceptable; the coordinator's holds the checkpoint)
+    runs = sorted((tmp_path / "mh_epoch").glob("run-*"))
+    ckpts = [c for r in runs for c in (r / "model").rglob("*.npz")]
+    assert ckpts, outs
