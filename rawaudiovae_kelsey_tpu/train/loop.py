@@ -80,7 +80,7 @@ def setup(cfg: Config, use_mesh: bool = True,
     print(f"Device: {device_name}")
     cfg.vae.device_name = device_name
 
-    ws = create_workspace(cfg)
+    ws = _make_workspace_coordinated(cfg)
     print(f"Workspace: {ws.workdir}")
 
     mesh = None
@@ -140,6 +140,39 @@ def setup(cfg: Config, use_mesh: bool = True,
     return ctx
 
 
+def _make_workspace_coordinated(cfg: Config) -> Workspace:
+    """Single-process: plain create_workspace.  Multihost: the coordinator
+    creates run-NNN and broadcasts the path; other processes open it
+    (independent creation would race into N distinct run dirs)."""
+    if jax.process_count() <= 1:
+        return create_workspace(cfg)
+    from jax.experimental import multihost_utils
+
+    from rawaudiovae_kelsey_tpu.config.workspace import open_workspace
+
+    if jax.process_index() == 0:
+        ws = create_workspace(cfg)
+        raw = str(ws.workdir.resolve()).encode()
+    else:
+        raw = b""
+    buf = np.zeros(1024, np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    shared = multihost_utils.broadcast_one_to_all(buf)
+    path = bytes(np.asarray(shared)).rstrip(b"\x00").decode()
+    cfg.dataset.workspace = path
+    if jax.process_index() == 0:
+        return ws
+    # the dir may take a moment to appear on shared storage
+    import time as _time
+
+    p = Path(path)
+    for _ in range(100):
+        if p.is_dir():
+            break
+        _time.sleep(0.05)
+    return open_workspace(p)
+
+
 def _find_resume_checkpoint(cfg: Config,
                             exclude: Optional[Path] = None) -> Optional[Path]:
     """Newest checkpoint across prior runs of this description, skipping the
@@ -188,6 +221,8 @@ def reconstruct_test_set(ctx: TrainContext, step_label: int) -> np.ndarray:
             recon = multihost_utils.process_allgather(recon, tiled=True)
         outs.append(np.asarray(jax.device_get(recon))[:n])
     wave = np.concatenate(outs, axis=0).reshape(-1)
+    if jax.process_index() != 0:
+        return wave  # all processes computed (collective); only one writes
     if ctx.cfg.extra.normalize_examples:
         # the reference's dead normalize_examples key (default.ini:35,
         # quirk #9), made functional: peak-normalize written examples
@@ -246,6 +281,8 @@ def maybe_save_best(ctx: TrainContext, train_loss: float, step_label: int,
     if step_label > after and train_loss < ctx.best_loss:
         ctx.best_loss = train_loss
         path = ctx.workspace.model_dir / "best_model.npz"
+        if jax.process_index() != 0:
+            return True
         ckpt.save_params(path, ctx.state.params)
         print(f"Step {step_label:05d}: Saved {path}")
         ctx.cfg.training.best_epoch = str(step_label)
@@ -257,6 +294,8 @@ def maybe_save_best(ctx: TrainContext, train_loss: float, step_label: int,
 
 def save_last(ctx: TrainContext) -> Path:
     path = ctx.workspace.model_dir / "last_model.npz"
+    if jax.process_index() != 0:
+        return path
     ckpt.save_params(path, ctx.state.params)
     print("Training Finished: Saved the last model")
     return path

@@ -179,8 +179,9 @@ def test_two_process_epoch_driver(tmp_path):
     outs = [p.communicate(timeout=300)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
     assert all("done mesh=True procs=2" in o for o in outs), outs
-    # exactly one run dir (both processes raced create_workspace — each made
-    # its own run dir is acceptable; the coordinator's holds the checkpoint)
+    # coordinated workspace: exactly ONE run dir shared by both processes,
+    # and the coordinator wrote the model artifacts into it
     runs = sorted((tmp_path / "mh_epoch").glob("run-*"))
-    ckpts = [c for r in runs for c in (r / "model").rglob("*.npz")]
+    assert len(runs) == 1, (runs, outs)
+    ckpts = list((runs[0] / "model").rglob("*.npz"))
     assert ckpts, outs
