@@ -50,12 +50,44 @@ def params_to_state_dict(params: Params) -> Dict[str, np.ndarray]:
     return out
 
 
-def load_torch_checkpoint(path: Union[str, Path]) -> Params:
-    """Load a reference ``ckpt_NNNNN`` file (or a bare state_dict file) into
-    a params pytree.  Requires the torch CPU build."""
+def _install_rawvae_stub() -> None:
+    """Make the reference's whole-module pickles loadable without the
+    reference package: ``best_model.pt``/``last_model.pt`` were saved with
+    ``torch.save(model)`` (train.py:243-244), so unpickling needs an
+    importable ``rawvae.model.VAE`` class.  We synthesize a minimal stand-in
+    (unpickling restores state via ``__dict__``, so an empty nn.Module
+    subclass suffices)."""
+    import sys
+    import types
+
     import torch
 
-    obj = torch.load(Path(path), map_location="cpu", weights_only=False)
+    if "rawvae.model" in sys.modules:
+        return
+
+    class VAE(torch.nn.Module):  # matches the pickled class path
+        pass
+
+    pkg = types.ModuleType("rawvae")
+    mod = types.ModuleType("rawvae.model")
+    mod.VAE = VAE
+    pkg.model = mod
+    sys.modules.setdefault("rawvae", pkg)
+    sys.modules["rawvae.model"] = mod
+
+
+def load_torch_checkpoint(path: Union[str, Path]) -> Params:
+    """Load a reference ``ckpt_NNNNN`` file, a bare state_dict file, or a
+    whole-module pickle (``best_model.pt``) into a params pytree.  Requires
+    the torch CPU build."""
+    import torch
+
+    try:
+        obj = torch.load(Path(path), map_location="cpu", weights_only=False)
+    except ModuleNotFoundError:
+        # whole-module pickle referencing the (absent) reference package
+        _install_rawvae_stub()
+        obj = torch.load(Path(path), map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     if not isinstance(obj, dict):

@@ -50,8 +50,20 @@ def _strip_inline_comment(raw: str) -> str:
     return raw.strip()
 
 
+# free-text string fields keep ' #'/' ;' verbatim; only enum-ish strings
+# (where the reference itself wrote inline comments, e.g. default.ini:29)
+# get comment stripping
+_COMMENT_STRIPPED_STR_KEYS = {
+    "loss_reduction", "precision", "backend", "rng", "device_resident",
+    "checkpoint_format", "feed_dtype", "mono", "arch",
+}
+
+
 def _coerce(raw: str, target_type: type, section: str, key: str):
-    raw = _strip_inline_comment(raw)
+    if target_type is not str or key in _COMMENT_STRIPPED_STR_KEYS:
+        raw = _strip_inline_comment(raw)
+    else:
+        raw = raw.strip()
     if target_type is bool:
         low = raw.lower()
         if low in _TRUTHY:

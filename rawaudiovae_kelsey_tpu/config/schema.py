@@ -221,7 +221,8 @@ class Config:
             raise ValueError(f"unknown arch {self.vae.arch!r}")
         if self.dataset.mono not in ("mean", "first"):
             raise ValueError(f"unknown mono mode {self.dataset.mono!r}")
-        if self.training.loss_reduction.split()[0] not in ("mean", "sum"):
+        tokens = self.training.loss_reduction.split()
+        if not tokens or tokens[0] not in ("mean", "sum"):
             raise ValueError(
                 f"unknown loss_reduction {self.training.loss_reduction!r}"
             )

@@ -95,5 +95,14 @@ def latest_workspace(cfg: Config, base: Path | None = None) -> Workspace | None:
     my_runs = base / cfg.extra.description
     if not my_runs.is_dir():
         return None
-    runs = sorted(p for p in my_runs.glob("run-*") if p.is_dir())
+
+    def run_id(p):
+        try:
+            return int(p.name.split("-", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
+    # numeric sort: lexicographic would put run-1000 before run-999
+    runs = sorted((p for p in my_runs.glob("run-*") if p.is_dir()),
+                  key=run_id)
     return Workspace(runs[-1]) if runs else None

@@ -133,13 +133,15 @@ def summarize(model: ModelDef, params) -> str:
     lines = [f"model: {model.name}  segment={model.segment_length}  "
              f"latent={model.latent_dim}"]
     total = 0
+    total_bytes = 0
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     for path, leaf in flat:
         name = ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
                         for p in path)
         n = int(np.prod(leaf.shape)) if leaf.shape else 1
         total += n
+        total_bytes += n * np.dtype(leaf.dtype).itemsize
         lines.append(f"  {name:<24} {str(tuple(leaf.shape)):<18} {n:>12,}")
     lines.append(f"  total parameters: {total:,} "
-                 f"({total * 4 / 1e6:.1f} MB fp32)")
+                 f"({total_bytes / 1e6:.1f} MB)")
     return "\n".join(lines)

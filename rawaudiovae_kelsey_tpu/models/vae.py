@@ -103,11 +103,8 @@ def loss_fn(recon_x: jax.Array, x: jax.Array, mu: jax.Array,
             reduction: str = "mean") -> jax.Array:
     """MSE + β·KLD, both mean-reduced by default (model.py:38-46; the comment
     there says "summed" but the code means — quirk #1, parity kept)."""
-    x = x.reshape(-1, segment_length)
-    red = jnp.mean if reduction == "mean" else jnp.sum
-    recon_loss = red(jnp.square(recon_x - x))
-    kld = -0.5 * red(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
-    return recon_loss + kl_beta * kld
+    return loss_components(recon_x, x, mu, logvar, kl_beta,
+                           segment_length, reduction)[0]
 
 
 def loss_components(recon_x, x, mu, logvar, kl_beta, segment_length,

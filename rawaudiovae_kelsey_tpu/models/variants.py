@@ -116,7 +116,7 @@ def init_conv1d(key: jax.Array, segment_length: int, channels: Sequence[int],
             f"segment_length {segment_length} not divisible by "
             f"stride**layers = {stride ** n}"
         )
-    keys = jax.random.split(key, 2 * n + 4)
+    keys = jax.random.split(key, 2 * n + 3)
     params: Params = {"enc": [], "dec": []}
     chs: List[int] = [1, *channels]
     for i in range(n):

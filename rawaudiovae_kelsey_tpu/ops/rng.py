@@ -58,7 +58,7 @@ def _reparam_kernel(seed_ref, mu_ref, logvar_ref, z_ref):
     z_ref[:] = (mu + eps * std).astype(z_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
 def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
     """On-chip ``z = mu + eps·exp(0.5·logvar)`` with TPU-PRNG Gaussian eps.
 
@@ -66,6 +66,10 @@ def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
     Off-TPU the TPU PRNG primitives have no interpreter support, so a
     threefry-based Box-Muller with the same shape contract runs instead
     (the sampling stream is platform-specific either way).
+
+    Differentiable via a custom VJP (reverse-mode AD cannot trace through a
+    raw pallas_call): with eps independent of the inputs,
+    ``dz/dmu = 1`` and ``dz/dlogvar = ½·eps·std = ½·(z − mu)``.
     """
     if _interpret():
         key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
@@ -93,3 +97,18 @@ def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
         interpret=_interpret(),
     )(seed_arr, mu2, logvar2)
     return z[:n]
+
+
+def _reparam_fwd(seed, mu, logvar, block_b):
+    z = _reparam_impl(seed, mu, logvar, block_b)
+    return z, (mu, z)
+
+
+def _reparam_bwd(seed, block_b, res, g):
+    mu, z = res
+    return g, 0.5 * (z - mu) * g
+
+
+# move the primal computation into a helper the VJP wrappers share
+_reparam_impl = pallas_reparameterize.__wrapped__
+pallas_reparameterize.defvjp(_reparam_fwd, _reparam_bwd)

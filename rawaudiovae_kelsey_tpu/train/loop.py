@@ -180,8 +180,15 @@ def _find_resume_checkpoint(cfg: Config,
     my_runs = cfg.dataset.datapath_path / cfg.extra.description
     if not my_runs.is_dir():
         return None
+
+    def run_id(p):
+        try:
+            return int(p.name.split("-", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
     for run in sorted((p for p in my_runs.glob("run-*") if p.is_dir()),
-                      reverse=True):
+                      key=run_id, reverse=True):
         if exclude is not None and run.resolve() == Path(exclude).resolve():
             continue
         found = ckpt.latest_checkpoint(Workspace(run).checkpoint_dir)

@@ -158,3 +158,52 @@ def test_param_count_default_config():
     expected = (1024 * 2048 + 2048) + 2 * (2048 * 256 + 256) \
         + (256 * 2048 + 2048) + (2048 * 1024 + 1024)
     assert n == expected == 5772800
+
+
+class _PickleVAE(torch.nn.Module):
+    """Module-level class (local classes aren't picklable) whose pickle path
+    is forced to rawvae.model.VAE below."""
+
+    def __init__(self):
+        super().__init__()
+        self.fc1 = torch.nn.Linear(SEG, UNITS)
+        self.fc21 = torch.nn.Linear(UNITS, LATENT)
+        self.fc22 = torch.nn.Linear(UNITS, LATENT)
+        self.fc3 = torch.nn.Linear(LATENT, UNITS)
+        self.fc4 = torch.nn.Linear(UNITS, SEG)
+
+
+def test_whole_module_pickle_import(tmp_path):
+    """best_model.pt-style whole-module pickles (train.py:243-244) load even
+    though the reference 'rawvae' package is not importable — the importer
+    synthesizes a stub class for unpickling."""
+    import sys
+    import types
+
+    # build a pickle whose class path is rawvae.model.VAE, then make that
+    # module unimportable (simulating the real environment)
+    pkg = types.ModuleType("rawvae")
+    mod = types.ModuleType("rawvae.model")
+    VAE = _PickleVAE
+    VAE.__module__ = "rawvae.model"
+    VAE.__qualname__ = "VAE"
+    VAE.__name__ = "VAE"
+    mod.VAE = VAE
+    pkg.model = mod
+    sys.modules["rawvae"] = pkg
+    sys.modules["rawvae.model"] = mod
+    torch.manual_seed(3)
+    m = VAE()
+    p = tmp_path / "best_model.pt"
+    torch.save(m, p)
+    expected = {k: v.numpy().copy() for k, v in m.state_dict().items()}
+    del sys.modules["rawvae"], sys.modules["rawvae.model"]
+
+    from rawaudiovae_kelsey_tpu.compat import load_torch_checkpoint
+
+    params = load_torch_checkpoint(p)
+    np.testing.assert_array_equal(
+        np.asarray(params["fc1"]["w"]).T, expected["fc1.weight"]
+    )
+    sys.modules.pop("rawvae", None)
+    sys.modules.pop("rawvae.model", None)
