@@ -58,7 +58,7 @@ def _reparam_kernel(seed_ref, mu_ref, logvar_ref, z_ref):
     z_ref[:] = (mu + eps * std).astype(z_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
     """On-chip ``z = mu + eps·exp(0.5·logvar)`` with TPU-PRNG Gaussian eps.
 
@@ -101,12 +101,17 @@ def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
 
 def _reparam_fwd(seed, mu, logvar, block_b):
     z = _reparam_impl(seed, mu, logvar, block_b)
-    return z, (mu, z)
+    return z, (jnp.shape(seed), mu, z)
 
 
-def _reparam_bwd(seed, block_b, res, g):
-    mu, z = res
-    return g, 0.5 * (z - mu) * g
+def _reparam_bwd(block_b, res, g):
+    import numpy as _np
+
+    seed_shape, mu, z = res
+    # integer-dtype primal → float0 tangent (seed is a traced array under
+    # jit, so it cannot live in nondiff_argnums)
+    d_seed = _np.zeros(seed_shape, dtype=jax.dtypes.float0)
+    return d_seed, g, 0.5 * (z - mu) * g
 
 
 # move the primal computation into a helper the VJP wrappers share
