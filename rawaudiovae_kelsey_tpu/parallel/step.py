@@ -118,13 +118,11 @@ def build_train_step(
             base_key = jax.random.fold_in(state.rng, state.step)
 
             if micro and micro < batch.shape[0]:
+                # A ragged final batch (host loaders don't drop_last) is
+                # handled as one extra grad call, weighted by its row count,
+                # so metrics/grads match the unmicrobatched computation.
                 n_micro, rem = divmod(batch.shape[0], micro)
-                if rem:
-                    raise ValueError(
-                        f"batch {batch.shape[0]} not divisible by "
-                        f"microbatch_size {micro}"
-                    )
-                mbs = batch.reshape(n_micro, micro, seg)
+                mbs = batch[: n_micro * micro].reshape(n_micro, micro, seg)
 
                 def scan_body(acc, inp):
                     i, mb = inp
@@ -146,9 +144,26 @@ def build_train_step(
                     (zeros, 0.0, 0.0, 0.0),
                     (jnp.arange(n_micro), mbs),
                 )
-                inv = (1.0 / n_micro) if mean_reduced else 1.0
-                grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
-                loss, mse, kld = lsum * inv, msum * inv, ksum * inv
+                total = batch.shape[0]
+                # grad of the mean over the full batch is the row-count-
+                # weighted sum of per-part mean grads; sum-reduction just adds
+                w_main = (micro / total) if mean_reduced else 1.0
+                grads = jax.tree_util.tree_map(lambda g: g * w_main, gsum)
+                loss, mse, kld = lsum * w_main, msum * w_main, ksum * w_main
+                if rem:
+                    (loss_r, (mse_r, kld_r)), grads_r = grad_fn(
+                        state.params,
+                        jax.random.fold_in(base_key, n_micro),
+                        batch[n_micro * micro:],
+                    )
+                    w_rem = (rem / total) if mean_reduced else 1.0
+                    grads = jax.tree_util.tree_map(
+                        lambda g, r: g + r.astype(jnp.float32) * w_rem,
+                        grads, grads_r,
+                    )
+                    loss = loss + loss_r * w_rem
+                    mse = mse + mse_r * w_rem
+                    kld = kld + kld_r * w_rem
             else:
                 (loss, (mse, kld)), grads = grad_fn(
                     state.params, base_key, batch
