@@ -55,7 +55,7 @@ def _strip_inline_comment(raw: str) -> str:
 # get comment stripping
 _COMMENT_STRIPPED_STR_KEYS = {
     "loss_reduction", "precision", "backend", "rng", "device_resident",
-    "checkpoint_format", "feed_dtype", "mono", "arch",
+    "resident_shuffle", "checkpoint_format", "feed_dtype", "mono", "arch",
 }
 
 

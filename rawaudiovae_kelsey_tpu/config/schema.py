@@ -149,6 +149,11 @@ class TPUConfig:
     # "auto" uses it when the corpus fits resident_budget_gb.
     device_resident: str = "auto"     # auto | always | never
     resident_budget_gb: float = 4.0
+    # Shuffle scope for mesh-sharded resident epochs: "global" mixes frames
+    # across shards each epoch (two-pass all_to_all block-transpose shuffle
+    # riding ICI, parallel/resident.py); "local" permutes only within each
+    # chip's shard (the locality-restricted shuffle sharded loaders use).
+    resident_shuffle: str = "global"  # global | local
     # Reparameterization sampler: "threefry" (jax.random, reproducible
     # across platforms — the default contract) or "tpu_prng" (the Pallas
     # on-chip PRNG kernel, ops/rng.py: eps never touches HBM; stream is
@@ -212,6 +217,10 @@ class Config:
         if self.tpu.checkpoint_format not in ("npz", "orbax"):
             raise ValueError(
                 f"unknown checkpoint_format {self.tpu.checkpoint_format!r}"
+            )
+        if self.tpu.resident_shuffle not in ("global", "local"):
+            raise ValueError(
+                f"unknown resident_shuffle {self.tpu.resident_shuffle!r}"
             )
         if self.tpu.device_resident not in ("auto", "always", "never"):
             raise ValueError(

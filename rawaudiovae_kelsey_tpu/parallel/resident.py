@@ -153,6 +153,33 @@ def pad_frames_for_mesh(frames: np.ndarray, n_shards: int) -> np.ndarray:
     return np.concatenate([frames, fill], axis=0)
 
 
+def _two_pass_shuffle(frames_local, key, axis_name: str, n_shards: int):
+    """Global-ish shuffle of a sharded frame matrix, entirely on-device.
+
+    Pass 1: permute the local rows; pass 2: ``all_to_all`` block transpose —
+    each chip keeps 1/n of its rows and sends 1/n to every other chip, so the
+    resulting shard holds an equal random slice of every original shard.  Not
+    a uniform permutation of all N rows, but every batch now mixes frames
+    from the whole corpus (the standard distributed two-pass shuffle); the
+    caller's per-step permutation adds the third pass.  Rows beyond the
+    largest multiple of ``n_shards`` stay local (they are random rows thanks
+    to pass 1).  One collective per epoch, riding ICI.
+    """
+    n_local = frames_local.shape[0]
+    pre = jax.random.permutation(key, n_local)
+    frames_local = frames_local[pre]
+    blk = n_local // n_shards
+    if n_shards == 1 or blk == 0:
+        return frames_local
+    head = jax.lax.all_to_all(
+        frames_local[: blk * n_shards], axis_name,
+        split_axis=0, concat_axis=0, tiled=True,
+    )
+    if blk * n_shards == n_local:
+        return head
+    return jnp.concatenate([head, frames_local[blk * n_shards:]], axis=0)
+
+
 def build_resident_epoch_sharded(
     model: ModelDef,
     cfg: Config,
@@ -165,9 +192,10 @@ def build_resident_epoch_sharded(
     its ``batch/n`` rows per step, and the single collective is the gradient
     pmean — whole epochs on-chip across the whole mesh.
 
-    Semantics note: shuffling is per-shard (each chip permutes its own
-    contiguous block of frames) rather than a global permutation — the same
-    kind of locality-restricted shuffle sharded data loaders use.  Frames
+    Shuffle scope follows ``cfg.tpu.resident_shuffle``: "global" (default)
+    runs :func:`_two_pass_shuffle` each epoch so batches mix frames from
+    every shard; "local" permutes only within each chip's contiguous block
+    (the locality-restricted shuffle sharded data loaders use).  Frames
     must be padded to the shard count first (:func:`pad_frames_for_mesh`).
 
     Returns ``(run_epoch, n_batches)``;
@@ -198,14 +226,22 @@ def build_resident_epoch_sharded(
               if cfg.training.loss_reduction.split()[0] == "sum"
               else jax.lax.pmean)
 
+    global_shuffle = cfg.tpu.resident_shuffle == "global"
+
     def per_shard(state: TrainState, frames_local, epoch):
         shard = jax.lax.axis_index(DATA_AXIS)
-        perm_key = jax.random.fold_in(
-            jax.random.fold_in(
-                jax.random.fold_in(state.rng, 0x5EED), epoch
-            ),
-            shard,
+        epoch_key = jax.random.fold_in(
+            jax.random.fold_in(state.rng, 0x5EED), epoch
         )
+        perm_key = jax.random.fold_in(epoch_key, shard)
+        if global_shuffle and n_shards > 1:
+            frames_local = _two_pass_shuffle(
+                frames_local,
+                jax.random.fold_in(
+                    jax.random.fold_in(epoch_key, 0xA110), shard
+                ),
+                DATA_AXIS, n_shards,
+            )
         perm = jax.random.permutation(perm_key, n_local)[
             : n_batches * local_bs
         ].reshape(n_batches, local_bs)

@@ -396,3 +396,76 @@ def test_resident_epoch_sharded_over_mesh():
     cfg_bad.training.batch_size = 60
     with pytest.raises(ValueError, match="not divisible"):
         build_resident_epoch_sharded(model, cfg_bad, opt, len(frames), mesh)
+
+
+def test_two_pass_shuffle_mixes_shards():
+    """The global resident shuffle must land an equal slice of every origin
+    shard on every chip, and preserve the global row multiset."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
+    from rawaudiovae_kelsey_tpu.parallel.resident import _two_pass_shuffle
+
+    mesh = make_mesh()  # 8x1
+    n_shards = mesh.shape[DATA_AXIS]
+    n_local, seg = 24, 4
+    # row value = origin shard id (constant per shard block)
+    frames = np.repeat(
+        np.arange(n_shards, dtype=np.float32), n_local
+    ).reshape(n_shards * n_local, 1) * np.ones((1, seg), np.float32)
+    dev = jax.device_put(frames, NamedSharding(mesh, P(DATA_AXIS, None)))
+
+    def per_shard(x):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), shard)
+        return _two_pass_shuffle(x, key, DATA_AXIS, n_shards)
+
+    shuffled = jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=P(DATA_AXIS, None), out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    ))(dev)
+
+    for i, s in enumerate(shuffled.addressable_shards):
+        origins = np.asarray(s.data)[:, 0].astype(int)
+        counts = np.bincount(origins, minlength=n_shards)
+        # exactly n_local/n_shards rows from every origin shard
+        np.testing.assert_array_equal(
+            counts, np.full(n_shards, n_local // n_shards)
+        )
+    # global multiset preserved
+    all_origins = np.asarray(shuffled)[:, 0].astype(int)
+    np.testing.assert_array_equal(
+        np.bincount(all_origins, minlength=n_shards),
+        np.full(n_shards, n_local),
+    )
+
+
+def test_resident_sharded_local_shuffle_mode():
+    """resident_shuffle = local (no collective) still trains."""
+    from rawaudiovae_kelsey_tpu.data.framing import overlapping_frames
+    from rawaudiovae_kelsey_tpu.parallel.resident import (
+        build_resident_epoch_sharded,
+        pad_frames_for_mesh,
+        put_frames_sharded,
+    )
+
+    cfg = small_cfg(resident_shuffle="local")
+    cfg.training.batch_size = 64
+    model, opt, state = make_state(cfg, seed=3)
+    mesh = make_mesh()
+    t = np.arange(30_000) / 44100.0
+    corpus = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    frames = pad_frames_for_mesh(
+        np.asarray(overlapping_frames(corpus, cfg.audio.segment_length,
+                                      cfg.audio.hop_length)), 8
+    )
+    dev_frames = put_frames_sharded(frames, cfg, mesh)
+    run_epoch, n_batches = build_resident_epoch_sharded(
+        model, cfg, opt, len(frames), mesh
+    )
+    means = []
+    for epoch in range(3):
+        state, losses = run_epoch(state, dev_frames, epoch)
+        means.append(float(np.asarray(jax.device_get(losses)).mean()))
+    assert means[-1] < means[0] and np.isfinite(means).all()
