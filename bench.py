@@ -198,11 +198,17 @@ def bench_torch_cpu(batch_size: int, steps: int = 3) -> float:
         return float(loss.item())
 
     one_step()  # warmup
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        one_step()
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    # best-of-3 repeats: the denominator of vs_baseline should be torch's
+    # BEST case, so host-load dips can only make our reported speedup
+    # smaller (conservative), never larger
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            one_step()
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * steps / dt)
+    return best
 
 
 def main() -> None:
@@ -241,17 +247,27 @@ def main() -> None:
     fps = bench_jax(args.batch, args.steps, args.precision, args.backend,
                     microbatch=args.microbatch, chain=args.chain)
 
+    # The cache keeps the high-water torch rate per batch size so the
+    # denominator is pinned: a loaded host can only lower our reported
+    # speedup, never raise it.
+    cached = None
+    if CACHE.exists():
+        rec = json.loads(CACHE.read_text())
+        if rec.get("batch") == args.batch:
+            cached = rec.get("torch_cpu_frames_per_sec")
     baseline = None
     if not args.no_torch:
         try:
             baseline = bench_torch_cpu(args.batch)
+            if cached:
+                baseline = max(baseline, cached)
             CACHE.write_text(json.dumps(
                 {"torch_cpu_frames_per_sec": baseline, "batch": args.batch}
             ))
         except Exception as e:  # noqa: BLE001
             print(f"torch baseline failed: {e}", file=sys.stderr)
-    if baseline is None and CACHE.exists():
-        baseline = json.loads(CACHE.read_text()).get("torch_cpu_frames_per_sec")
+    if baseline is None:
+        baseline = cached
 
     result = {
         "metric": "train_frames_per_sec",
