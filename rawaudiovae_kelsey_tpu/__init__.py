@@ -36,4 +36,23 @@ compat      PyTorch checkpoint import/export for bit-for-float parity testing
 
 __version__ = "0.1.0"
 
+import os as _os
+
+_req = _os.environ.get("JAX_PLATFORMS", "")
+if _req and all(p.strip() in ("cpu", "tpu", "gpu", "cuda", "rocm")
+                for p in _req.split(",")):
+    # Some PJRT plugins (e.g. tunneled TPU backends) register themselves
+    # regardless of JAX_PLATFORMS, silently overriding the documented env
+    # var.  When the user asks for a BUILT-IN platform (JAX_PLATFORMS=cpu),
+    # re-assert the choice through the config API, which the plugin cannot
+    # override.  Plugin platform names are left to normal discovery —
+    # enforcing them would break in processes where the plugin can't load.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _req)
+    except Exception:  # noqa: BLE001 — never block import on backend quirks
+        pass
+del _os, _req
+
 from rawaudiovae_kelsey_tpu.config import Config, load_config  # noqa: F401

@@ -15,8 +15,9 @@ degenerate best-model gate (quirk #7).
 Two execution paths share all bookkeeping:
   * host-fed (default on meshes / big corpora): background prefetcher feeds
     device batches;
-  * device-resident (``[tpu] device_resident``, single device, corpus frame
-    matrix within budget): the frames upload once and the EXACT stream order
+  * device-resident (``[tpu] device_resident``, corpus frame matrix within
+    budget; on a mesh the frames replicate and the index batches shard over
+    the data axis): the frames upload once and the EXACT stream order
     — per-pass file shuffle, boundary-crossing batches, verified bit-for-bit
     against the host loader — replays on device from staged int32 index
     chunks, scanning several optimizer steps per dispatch.
@@ -44,8 +45,7 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
     if not datapath.exists():
         raise FileNotFoundError(datapath.resolve())
 
-    # device_resident="always" runs the on-chip stream loop (single-device)
-    ctx = L.setup(cfg, use_mesh=cfg.tpu.device_resident != "always")
+    ctx = L.setup(cfg)
     try:
         with tee_stdout(ctx.workspace.console_log_path), \
                 GracefulInterrupt() as stop:
@@ -88,8 +88,11 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
 
     # device-resident stream fast path: when the decoded folder's frame
     # matrix fits the HBM budget, replay the EXACT stream with int32 index
-    # batches — audio rows never cross the host link after the upload
-    if ctx.mesh is None and cfg.tpu.device_resident != "never":
+    # batches — audio rows never cross the host link after the upload.
+    # Works on a mesh too (frames replicated, index batches sharded over the
+    # data axis); multi-host stays host-fed (each host holds only its file
+    # shard, but resident replay needs the whole corpus).
+    if jax.process_count() == 1 and cfg.tpu.device_resident != "never":
         est = _estimate_stream_frames(dataset, cfg)
         dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
         budget = int(cfg.tpu.resident_budget_gb * (1 << 30))
@@ -269,7 +272,28 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
     dtype = jnp.bfloat16 if cfg.tpu.precision == "bfloat16" else jnp.float32
     frames_np = dataset.all_frames()
-    dev_frames = jax.device_put(jnp.asarray(frames_np, dtype))
+    mesh = ctx.mesh
+    idx_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
+
+        # frames replicated (stream indices address the whole corpus); the
+        # per-step batch parallelism comes from sharding the int32 index
+        # batches over the data axis — GSPMD then shards the row gather and
+        # inserts the grad reduction.  An indivisible batch keeps the
+        # indices replicated (every chip computes the full batch; correct,
+        # just not data-parallel).
+        dev_frames = jax.device_put(
+            jnp.asarray(frames_np, dtype), NamedSharding(mesh, P())
+        )
+        divisible = batch_size % mesh.shape[DATA_AXIS] == 0
+        idx_sharding = NamedSharding(
+            mesh, P(None, DATA_AXIS) if divisible else P()
+        )
+    else:
+        dev_frames = jax.device_put(jnp.asarray(frames_np, dtype))
     del frames_np
 
     # chunk = steps per dispatch; truncated to land on checkpoint boundaries
@@ -283,6 +307,11 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     @jax.jit
     def run_chunk(state, idx_chunk):
         with jax.default_matmul_precision(prec):
+            if idx_sharding is not None:
+                idx_chunk = jax.lax.with_sharding_constraint(
+                    idx_chunk, idx_sharding
+                )
+
             def body(s, idx):
                 xb = dev_frames[idx]
                 key = jax.random.fold_in(s.rng, s.step)
@@ -307,8 +336,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     # the decoded per-file cache served all_frames()/the plan's counts; the
     # data now lives on device — release the host copy
     dataset.release_cache()
+    where = (f"replicated over {mesh.devices.size}-device mesh"
+             if mesh is not None else "on device")
     print(f"Device-resident stream: {dev_frames.shape[0]:,} frames "
-          f"({dev_frames.nbytes / 1e6:,.0f} MB on device), "
+          f"({dev_frames.nbytes / 1e6:,.0f} MB {where}), "
           f"{chunk} steps/dispatch")
 
     train_loss_accum = 0.0
@@ -340,7 +371,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             yield np.stack(list(itertools.islice(plan, k)))
             bid += k
 
-    staged = prefetch_to_device(chunk_plan(), depth=3)
+    staged = prefetch_to_device(chunk_plan(), depth=3,
+                                sharding=idx_sharding)
     hist_marker = (start_batch // hist_every) if hist_every else 0
 
     ctx.timer.start()

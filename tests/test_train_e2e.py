@@ -276,6 +276,59 @@ def test_resident_stream_always_over_budget_raises(scratch_dataset):
         train(cfg, verbose=False)
 
 
+def _loss_batch_history(ctx):
+    import glob
+
+    tb = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_file_loader"
+    )
+    (f,) = glob.glob(str(ctx.workspace.log_dir / "events.out.tfevents.*"))
+    hist = {}
+    for e in tb.LegacyEventFileLoader(f).Load():
+        for v in e.summary.value:
+            if v.tag == "Loss/Batch":
+                hist[e.step] = v.simple_value
+    return [hist[k] for k in sorted(hist)]
+
+
+def test_stream_resident_mesh_matches_host_fed(scratch_dataset):
+    """Resident streaming under the 8-device mesh (frames replicated, index
+    batches sharded over the data axis) must reproduce the host-fed mesh
+    stream: same stream order, same fold_in(rng, step) keys → same per-batch
+    losses up to fp32 reduction order."""
+    from rawaudiovae_kelsey_tpu.train.stream import train
+
+    runs = {}
+    for mode in ("always", "never"):
+        cfg = small_cfg(scratch_dataset)
+        cfg.tpu.device_resident = mode
+        cfg.training.total_num_frames = 32 * 12
+        cfg.training.checkpoint_interval = 6
+        ctx = train(cfg, verbose=False)
+        assert ctx.mesh is not None  # really ran on the 8-device mesh
+        runs[mode] = _loss_batch_history(ctx)
+    assert len(runs["always"]) == len(runs["never"]) == 12
+    np.testing.assert_allclose(runs["always"], runs["never"],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_stream_resident_mesh_indivisible_batch(scratch_dataset):
+    """A batch size that doesn't divide the mesh's data axis keeps the
+    resident stream correct (indices replicated, no data parallelism)."""
+    from rawaudiovae_kelsey_tpu.train.stream import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.training.batch_size = 36  # 36 % 8 != 0
+    cfg.training.total_num_frames = 36 * 6
+    cfg.training.checkpoint_interval = 0
+    ctx = train(cfg, verbose=False)
+    assert ctx.mesh is not None
+    hist = _loss_batch_history(ctx)
+    assert len(hist) == 6 and np.isfinite(hist).all()
+    assert (ctx.workspace.model_dir / "last_model.npz").exists()
+
+
 def test_epoch_trainer_mesh_sharded_resident(scratch_dataset):
     """Auto mode on the 8-device mesh takes the sharded-resident path: whole
     epochs on the mesh, complete workspace contract."""
