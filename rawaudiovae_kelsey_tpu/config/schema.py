@@ -229,7 +229,11 @@ class Config:
         if self.vae.arch not in ("dense", "deep", "conv1d"):
             raise ValueError(f"unknown arch {self.vae.arch!r}")
         if self.dataset.mono not in ("mean", "first"):
-            raise ValueError(f"unknown mono mode {self.dataset.mono!r}")
+            raise ValueError(
+                f"unknown mono mode {self.dataset.mono!r} (expected 'mean' — "
+                "average channels like librosa.load, or 'first' — keep the "
+                "first channel like the reference's streaming loader)"
+            )
         tokens = self.training.loss_reduction.split()
         if not tokens or tokens[0] not in ("mean", "sum"):
             raise ValueError(
