@@ -2,6 +2,9 @@
 """Export — the script form of the reference's export-onnx.ipynb.
 
 Loads a checkpoint and exports:
+  * a real ``rawaudiovae.onnx`` (export-onnx.ipynb cell 11 parity: fixed
+    (segment,) input, stochastic reparameterize, outputs recon/mu/logvar) +
+    a dynamic-batch deterministic variant — dense family only
   * a serialized StableHLO forward graph (stochastic — parity with the
     reference's exported reparameterizing graph — and deterministic)
   * torch-layout npz weights
@@ -9,6 +12,7 @@ Loads a checkpoint and exports:
 Usage:
     python examples/export.py --run <workdir> [--config <ini>] [--out out/]
     python examples/export.py --torch-ckpt ckpt_00500 --config configs/default.ini
+    python -m rawaudiovae_kelsey_tpu export --run <workdir> --onnx   # ONNX only
 """
 
 from __future__ import annotations
@@ -31,6 +35,8 @@ def main() -> None:
     ap.add_argument("--torch-ckpt", type=Path, default=None)
     ap.add_argument("--out", type=Path, default=Path("export_out"))
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--onnx", action="store_true",
+                    help="emit only the .onnx artifacts")
     args = ap.parse_args()
 
     cfg = load_config(args.config or args.run / "config.ini")
@@ -43,13 +49,27 @@ def main() -> None:
     else:
         params = load_params(args.run / "model" / "best_model.npz", template)
 
-    p1 = export_stablehlo(model, params, args.out / "rawaudiovae.stablehlo",
-                          batch=args.batch, deterministic=False)
-    p2 = export_stablehlo(model, params,
-                          args.out / "rawaudiovae_det.stablehlo",
-                          batch=args.batch, deterministic=True)
-    p3 = export_npz(model, params, args.out / "rawaudiovae_weights.npz")
-    for p in (p1, p2, p3):
+    paths = []
+    if model.name == "dense":
+        from rawaudiovae_kelsey_tpu.infer import export_onnx
+
+        # reference-parity graph (fixed (segment,) input, stochastic)
+        paths.append(export_onnx(model, params,
+                                 args.out / "rawaudiovae.onnx"))
+        # dynamic-batch deterministic variant (quirk #13/#18 extensions)
+        paths.append(export_onnx(model, params,
+                                 args.out / "rawaudiovae_det.onnx",
+                                 batch="batch", deterministic=True))
+    if not args.onnx:
+        paths.append(export_stablehlo(
+            model, params, args.out / "rawaudiovae.stablehlo",
+            batch=args.batch, deterministic=False))
+        paths.append(export_stablehlo(
+            model, params, args.out / "rawaudiovae_det.stablehlo",
+            batch=args.batch, deterministic=True))
+        paths.append(export_npz(model, params,
+                                args.out / "rawaudiovae_weights.npz"))
+    for p in paths:
         print(f"exported {p} ({p.stat().st_size:,} bytes)")
 
 

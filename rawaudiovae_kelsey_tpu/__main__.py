@@ -5,7 +5,7 @@ Commands:
   stream    streaming trainer (reference train_iterable.py flow)
   eval      reconstruction MSE of a run         (eval/cli.py)
   tutorial  the creative pipeline               (examples/tutorial.py)
-  export    StableHLO + npz export              (examples/export.py)
+  export    ONNX + StableHLO + npz export       (examples/export.py)
   validate  dataset audit (check_dataset/check_audio)
   serve     HTTP inference service (batched encode/decode/reconstruct)
   som       train a SOM over a wav folder's latents; writes the

@@ -25,6 +25,10 @@ from rawaudiovae_kelsey_tpu.infer.export import (  # noqa: F401
     load_stablehlo,
     make_forward_fn,
 )
+from rawaudiovae_kelsey_tpu.infer.onnx_model import (  # noqa: F401
+    OnnxModel,
+    export_onnx,
+)
 from rawaudiovae_kelsey_tpu.infer.server import InferenceServer  # noqa: F401
 from rawaudiovae_kelsey_tpu.infer.http import HttpInferenceServer  # noqa: F401
 from rawaudiovae_kelsey_tpu.infer.som_train import (  # noqa: F401

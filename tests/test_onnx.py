@@ -1,0 +1,166 @@
+"""ONNX export round-trip: the artifact written by infer/onnx_model.py is
+real protobuf bytes, parsed back by the module's own decoder (the image has
+no onnxruntime) and executed with numpy against the JAX forward.
+
+Reference contract: export-onnx.ipynb cell 11 — ``torch.onnx.export(
+raw_model, torch.randn(1024), "rawaudiovae.onnx")``: full forward (encode →
+stochastic reparameterize → decode) at a fixed flat input, which
+``VAE.forward`` (rawvae/model.py:32-35) reshapes to (-1, segment) and which
+returns the (recon, mu, logvar) tuple.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.infer import OnnxModel, export_onnx
+from rawaudiovae_kelsey_tpu.models import build_model
+
+SEG, LATENT = 256, 16
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = Config()
+    cfg.audio.segment_length = SEG
+    cfg.audio.hop_length = 64
+    cfg.vae.n_units = 64
+    cfg.vae.latent_dim = LATENT
+    model = build_model(cfg)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_reference_parity_graph_structure(model_and_params, tmp_path):
+    """The default export matches the cell-11 artifact's contract: fixed
+    (segment,) input, Reshape, RandomNormalLike reparameterization, three
+    outputs named like the forward tuple."""
+    model, params = model_and_params
+    path = export_onnx(model, params, tmp_path / "rawaudiovae.onnx")
+    assert path.exists() and path.stat().st_size > 4 * SEG  # weights inside
+    m = OnnxModel.load(path)
+    assert m.ir_version == 8
+    assert m.opset == 17
+    assert m.inputs == ["input"]
+    assert m.outputs == ["recon", "mu", "logvar"]
+    ops = [n.op_type for n in m.nodes]
+    assert ops.count("MatMul") == 5          # fc1, fc21, fc22, fc3, fc4
+    assert "RandomNormalLike" in ops         # stochastic reparameterize
+    assert "Reshape" in ops                  # x.view(-1, segment)
+    assert ops.count("Relu") == 2 and ops.count("Tanh") == 1
+    # weight initializers carry the real values in (in, out) layout
+    assert m.initializers["fc1_w"].shape == (SEG, 64)
+    assert m.initializers["fc4_b"].shape == (SEG,)
+
+
+def test_deterministic_roundtrip_matches_jax(model_and_params, tmp_path):
+    """Deterministic graph (z = mu): numpy evaluation of the decoded bytes
+    matches the JAX forward to fp32 tolerance."""
+    model, params = model_and_params
+    path = export_onnx(model, params, tmp_path / "det.onnx",
+                       batch="batch", deterministic=True)
+    m = OnnxModel.load(path)
+    assert all(n.op_type != "RandomNormalLike" for n in m.nodes)
+
+    x = np.random.default_rng(0).uniform(-1, 1, (7, SEG)).astype(np.float32)
+    out = m.run({"input": x})
+
+    mu_j, logvar_j = model.encode(params, x)
+    recon_j = model.decode(params, mu_j)
+    np.testing.assert_allclose(out["mu"], np.asarray(mu_j), atol=2e-5)
+    np.testing.assert_allclose(out["logvar"], np.asarray(logvar_j),
+                               atol=2e-5)
+    np.testing.assert_allclose(out["recon"], np.asarray(recon_j), atol=2e-5)
+
+
+def test_stochastic_roundtrip(model_and_params, tmp_path):
+    """Stochastic graph: flat (segment,) input is reshaped in-graph; mu and
+    logvar are deterministic and match JAX; recon = decode(mu + eps*std)
+    for the evaluator's eps — checked against the same eps fed to JAX."""
+    model, params = model_and_params
+    path = export_onnx(model, params, tmp_path / "sto.onnx")
+    m = OnnxModel.load(path)
+
+    x = np.random.default_rng(1).uniform(-1, 1, (SEG,)).astype(np.float32)
+    out = m.run({"input": x}, rng=np.random.default_rng(42))
+    assert out["recon"].shape == (1, SEG)
+    assert np.all(np.isfinite(out["recon"]))
+
+    mu_j, logvar_j = model.encode(params, x.reshape(1, SEG))
+    np.testing.assert_allclose(out["mu"], np.asarray(mu_j), atol=2e-5)
+    # replay the evaluator's eps through the JAX decode path
+    eps = np.random.default_rng(42).standard_normal(
+        (1, LATENT)).astype(np.float32)
+    z = np.asarray(mu_j) + eps * np.exp(0.5 * np.asarray(logvar_j))
+    recon_j = model.decode(params, z)
+    np.testing.assert_allclose(out["recon"], np.asarray(recon_j), atol=2e-5)
+
+
+def test_dynamic_batch_dim(model_and_params, tmp_path):
+    """batch='N' exports a symbolic batch axis (quirk #18 fix) usable at any
+    batch size."""
+    model, params = model_and_params
+    path = export_onnx(model, params, tmp_path / "dyn.onnx", batch="N",
+                       deterministic=True)
+    m = OnnxModel.load(path)
+    for n in (1, 3, 17):
+        x = np.zeros((n, SEG), np.float32)
+        out = m.run({"input": x})
+        assert out["recon"].shape == (n, SEG)
+
+
+def test_non_dense_family_rejected(tmp_path):
+    cfg = Config()
+    cfg.audio.segment_length = SEG
+    cfg.vae.arch = "deep"
+    cfg.vae.hidden_dims = "64,32"
+    cfg.vae.latent_dim = LATENT
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="dense"):
+        export_onnx(model, params, tmp_path / "x.onnx")
+
+
+def test_cli_export_onnx(model_and_params, tmp_path):
+    """`python -m rawaudiovae_kelsey_tpu export --onnx` (VERDICT item 5
+    done-criterion) produces loadable artifacts."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    model, params = model_and_params
+    # stage a fake run directory: config + best params
+    run = tmp_path / "run-000"
+    (run / "model").mkdir(parents=True)
+    cfg_text = (
+        "[audio]\nsegment_length = 256\nhop_length = 64\n"
+        "sampling_rate = 44100\n"
+        "[VAE]\nn_units = 64\nlatent_dim = 16\nkl_beta = 1e-4\n"
+        "[dataset]\ndatapath = .\n[training]\nbatch_size = 8\n"
+    )
+    (run / "config.ini").write_text(cfg_text)
+    from rawaudiovae_kelsey_tpu.train import save_params
+
+    save_params(run / "model" / "best_model.npz", params)
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, "-m", "rawaudiovae_kelsey_tpu", "export",
+         "--run", str(run), "--onnx", "--out", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd=repo,
+        env=_cpu_env(),
+    )
+    assert proc.returncode == 0, proc.stderr
+    onnx_path = tmp_path / "out" / "rawaudiovae.onnx"
+    assert onnx_path.exists()
+    m = OnnxModel.load(onnx_path)
+    assert m.outputs == ["recon", "mu", "logvar"]
+
+
+def _cpu_env():
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return env
