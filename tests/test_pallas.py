@@ -275,6 +275,39 @@ def test_conv1d_pallas_parity():
                                    err_msg=f"convT K{K} S{S}")
 
 
+def test_conv1d_pallas_grad_parity():
+    """Toeplitz custom-VJP grads (x, w, b) vs XLA autodiff, both conv
+    directions, relu epilogue, odd window geometries."""
+    from rawaudiovae_kelsey_tpu.models import variants
+    from rawaudiovae_kelsey_tpu.ops import conv1d_pallas, conv1d_transpose_pallas
+
+    rng = np.random.default_rng(1)
+    for K, S, L in ((9, 4, 64), (5, 2, 48), (3, 4, 32), (7, 4, 64)):
+        x = jnp.asarray(rng.standard_normal((3, L, 5)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((K, 5, 6)) * 0.1)
+                        .astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(6).astype(np.float32) * 0.1)
+
+        def loss_ref(xx, ww, bb, tr):
+            p = {"w": ww, "b": bb}
+            y = (variants._conv_transpose(p, xx, S) if tr
+                 else variants._conv(p, xx, S))
+            return 0.5 * jnp.sum(jax.nn.relu(y) ** 2)
+
+        def loss_pal(xx, ww, bb, tr):
+            y = (conv1d_transpose_pallas(xx, ww, bb, S, "relu") if tr
+                 else conv1d_pallas(xx, ww, bb, S, "relu"))
+            return 0.5 * jnp.sum(y ** 2)
+
+        for tr in (False, True):
+            gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b, tr)
+            gp = jax.grad(loss_pal, argnums=(0, 1, 2))(x, w, b, tr)
+            for name, a, c in zip("xwb", gr, gp):
+                np.testing.assert_allclose(
+                    np.asarray(c), np.asarray(a), atol=5e-5, rtol=1e-4,
+                    err_msg=f"d{name} K{K} S{S} transpose={tr}")
+
+
 def test_conv1d_variant_pallas_backend():
     """Full conv1d VAE on the pallas backend: encode/decode parity with the
     XLA backend and a finite train step."""
