@@ -90,6 +90,64 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
     return loss_fn
 
 
+def make_weighted_loss_fn(model: ModelDef, cfg: Config) -> Callable:
+    """(params, key, batch, row_weights) → (loss, (mse, kld)).
+
+    Row-masked variant of :func:`make_loss_fn`: rows with weight 0 (e.g.
+    padding added to make a batch divisible by the mesh's data axis)
+    contribute nothing to the loss or gradients, and the reduction
+    denominators count only real rows — so the result is bit-comparable to
+    the unpadded computation.  Mirrors the reference loss semantics
+    (``rawvae/model.py:38-46``) exactly on the surviving rows."""
+    seg = model.segment_length
+    kl_beta = cfg.vae.kl_beta
+    reduction = cfg.training.loss_reduction.split()[0]
+    bf16 = cfg.tpu.precision == "bfloat16"
+    tpu_prng = cfg.tpu.rng == "tpu_prng"
+
+    def sample(key, mu, logvar):
+        if tpu_prng:
+            from rawaudiovae_kelsey_tpu.ops.rng import pallas_reparameterize
+
+            seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+            return pallas_reparameterize(seed, mu, logvar)
+        return model.reparameterize(key, mu, logvar)
+
+    def loss_fn(params, key, batch, wv):
+        x = batch.reshape(-1, seg)
+        if bf16:
+            cparams = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16), params
+            )
+            xin = x.astype(jnp.bfloat16)
+        else:
+            cparams, xin = params, x
+        mu, logvar = model.encode(cparams, xin)
+        mu = mu.astype(jnp.float32)
+        logvar = logvar.astype(jnp.float32)
+        z = sample(key, mu, logvar)
+        if bf16:
+            z = z.astype(jnp.bfloat16)
+        recon = model.decode(cparams, z).astype(jnp.float32)
+        wv = wv.astype(jnp.float32)
+        se = jnp.sum(jnp.square(recon - x), axis=1)          # (B,)
+        kl = -0.5 * jnp.sum(
+            1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=1
+        )
+        n_real = jnp.sum(wv)
+        if reduction == "mean":
+            mse = jnp.dot(se, wv) / (n_real * seg)
+            kld = jnp.dot(kl, wv) / (n_real * mu.shape[-1])
+        else:
+            mse = jnp.dot(se, wv)
+            kld = jnp.dot(kl, wv)
+        return mse + kl_beta * kld, (mse, kld)
+
+    if cfg.tpu.remat:
+        loss_fn = jax.checkpoint(loss_fn)
+    return loss_fn
+
+
 def build_train_step(
     model: ModelDef,
     cfg: Config,

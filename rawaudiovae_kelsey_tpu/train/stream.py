@@ -89,10 +89,15 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     # device-resident stream fast path: when the decoded folder's frame
     # matrix fits the HBM budget, replay the EXACT stream with int32 index
     # batches — audio rows never cross the host link after the upload.
-    # Works on a mesh too (frames replicated, index batches sharded over the
-    # data axis); multi-host stays host-fed (each host holds only its file
-    # shard, but resident replay needs the whole corpus).
-    if jax.process_count() == 1 and cfg.tpu.device_resident != "never":
+    # Works on a mesh too (frames replicated, index batches sharded over
+    # the data axis) and across hosts (each host's file-shard frames are
+    # stitched into one DCN-spanning resident array with
+    # jax.make_array_from_process_local_data; per-host index plans replay
+    # each host's exact local stream).
+    multihost_ok = (jax.process_count() == 1
+                    or (ctx.mesh is not None
+                        and ctx.mesh.shape.get("model", 1) == 1))
+    if multihost_ok and cfg.tpu.device_resident != "never":
         est = _estimate_stream_frames(dataset, cfg)
         dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
         budget = int(cfg.tpu.resident_budget_gb * (1 << 30))
@@ -256,6 +261,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     from rawaudiovae_kelsey_tpu.parallel.step import (
         _matmul_precision,
         make_loss_fn,
+        make_weighted_loss_fn,
     )
     from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
     from rawaudiovae_kelsey_tpu.train.state import TrainState
@@ -273,8 +279,44 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     dtype = jnp.bfloat16 if cfg.tpu.precision == "bfloat16" else jnp.float32
     frames_np = dataset.all_frames()
     mesh = ctx.mesh
+    nproc = jax.process_count()
     idx_sharding = None
-    if mesh is not None:
+    idx_put_fn = None
+    idx_base = 0
+    if mesh is not None and nproc > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from jax.experimental import multihost_utils
+
+        from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
+
+        # DCN-spanning resident: each host uploads only its own file-shard
+        # frames; the shards are stitched into one global array along the
+        # data axis.  Shards must be equal-sized per device, so each host
+        # zero-pads its frame matrix to the cross-host max (rounded up to
+        # the per-host device count) — pad rows are only ever addressed as
+        # masked batch padding.
+        dph = mesh.shape[DATA_AXIS] // nproc      # data devices per host
+        counts = multihost_utils.process_allgather(
+            np.asarray(frames_np.shape[0]))
+        n_pad = -(-int(counts.max()) // dph) * dph
+        if n_pad > frames_np.shape[0]:
+            frames_np = np.concatenate([
+                frames_np,
+                np.zeros((n_pad - frames_np.shape[0],
+                          frames_np.shape[1]), frames_np.dtype),
+            ])
+        dev_frames = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS)),
+            np.asarray(frames_np, jnp.dtype(dtype)),
+        )
+        # host h's local frame row r is global row h*n_pad + r
+        idx_base = jax.process_index() * n_pad
+        pad_rows = (-batch_size) % dph
+        idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+        idx_put_fn = lambda a: jax.make_array_from_process_local_data(  # noqa: E731
+            idx_sharding, a)
+    elif mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
@@ -282,30 +324,44 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # frames replicated (stream indices address the whole corpus); the
         # per-step batch parallelism comes from sharding the int32 index
         # batches over the data axis — GSPMD then shards the row gather and
-        # inserts the grad reduction.  An indivisible batch keeps the
-        # indices replicated (every chip computes the full batch; correct,
-        # just not data-parallel).
+        # inserts the grad reduction.  An indivisible batch is padded to
+        # the data-axis multiple and the pad rows are masked out of the
+        # loss/grads (make_weighted_loss_fn), so compute stays parallel
+        # and the loss sequence is identical to the unpadded one.
         dev_frames = jax.device_put(
             jnp.asarray(frames_np, dtype), NamedSharding(mesh, P())
         )
-        divisible = batch_size % mesh.shape[DATA_AXIS] == 0
-        idx_sharding = NamedSharding(
-            mesh, P(None, DATA_AXIS) if divisible else P()
-        )
+        pad_rows = (-batch_size) % mesh.shape[DATA_AXIS]
+        idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     else:
         dev_frames = jax.device_put(jnp.asarray(frames_np, dtype))
+        pad_rows = 0
     del frames_np
 
     # chunk = steps per dispatch; truncated to land on checkpoint boundaries
     chunk = min(16, interval or 16, total_num_batches) or 1
 
     optimizer = build_optimizer(cfg)
-    loss_fn = make_loss_fn(ctx.model, cfg)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if pad_rows:
+        # indivisible (per-host) batch: pad index rows to the data-axis
+        # multiple and zero-weight them — grads and loss match the
+        # unpadded sequence.  Multi-host: the global batch is the per-host
+        # blocks concatenated, so the mask pattern tiles per host.
+        wloss_fn = make_weighted_loss_fn(ctx.model, cfg)
+        wgrad_fn = jax.value_and_grad(wloss_fn, has_aux=True)
+        row_w = jnp.tile(jnp.concatenate([
+            jnp.ones(batch_size, jnp.float32),
+            jnp.zeros(pad_rows, jnp.float32),
+        ]), nproc if mesh is not None else 1)
+    else:
+        loss_fn = make_loss_fn(ctx.model, cfg)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     prec = _matmul_precision(cfg.tpu.precision)
 
     @jax.jit
-    def run_chunk(state, idx_chunk):
+    def run_chunk(state, idx_chunk, frames):
+        # frames passed as an argument (not closed over): multi-process
+        # global arrays may not be captured as jit constants
         with jax.default_matmul_precision(prec):
             if idx_sharding is not None:
                 idx_chunk = jax.lax.with_sharding_constraint(
@@ -313,9 +369,12 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 )
 
             def body(s, idx):
-                xb = dev_frames[idx]
+                xb = frames[idx]
                 key = jax.random.fold_in(s.rng, s.step)
-                (loss, _aux), grads = grad_fn(s.params, key, xb)
+                if pad_rows:
+                    (loss, _aux), grads = wgrad_fn(s.params, key, xb, row_w)
+                else:
+                    (loss, _aux), grads = grad_fn(s.params, key, xb)
                 grads = jax.tree_util.tree_map(
                     lambda g: g.astype(jnp.float32), grads
                 )
@@ -336,8 +395,13 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     # the decoded per-file cache served all_frames()/the plan's counts; the
     # data now lives on device — release the host copy
     dataset.release_cache()
-    where = (f"replicated over {mesh.devices.size}-device mesh"
-             if mesh is not None else "on device")
+    if mesh is not None and nproc > 1:
+        where = (f"host-sharded over {nproc} hosts / "
+                 f"{mesh.devices.size}-device mesh")
+    elif mesh is not None:
+        where = f"replicated over {mesh.devices.size}-device mesh"
+    else:
+        where = "on device"
     print(f"Device-resident stream: {dev_frames.shape[0]:,} frames "
           f"({dev_frames.nbytes / 1e6:,.0f} MB {where}), "
           f"{chunk} steps/dispatch")
@@ -368,17 +432,26 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             k = min(chunk, total_num_batches - bid)
             if interval:
                 k = min(k, interval - (bid % interval))
-            yield np.stack(list(itertools.islice(plan, k)))
+            batches = list(itertools.islice(plan, k))
+            if pad_rows:       # masked rows; index 0 is always in range
+                batches = [
+                    np.concatenate([bb, np.zeros(pad_rows, bb.dtype)])
+                    for bb in batches
+                ]
+            if idx_base:       # local rows → this host's global rows
+                batches = [bb + np.int32(idx_base) for bb in batches]
+            yield np.stack(batches)
             bid += k
 
     staged = prefetch_to_device(chunk_plan(), depth=3,
-                                sharding=idx_sharding)
+                                sharding=None if idx_put_fn else idx_sharding,
+                                put_fn=idx_put_fn)
     hist_marker = (start_batch // hist_every) if hist_every else 0
 
     ctx.timer.start()
     for idx_dev in staged:
         k = idx_dev.shape[0]
-        ctx.state, losses = run_chunk(ctx.state, idx_dev)
+        ctx.state, losses = run_chunk(ctx.state, idx_dev, dev_frames)
         pending.append((batch_id, losses))  # no sync in the hot loop
         batch_id += k
 

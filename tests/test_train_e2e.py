@@ -313,20 +313,33 @@ def test_stream_resident_mesh_matches_host_fed(scratch_dataset):
 
 
 def test_stream_resident_mesh_indivisible_batch(scratch_dataset):
-    """A batch size that doesn't divide the mesh's data axis keeps the
-    resident stream correct (indices replicated, no data parallelism)."""
-    from rawaudiovae_kelsey_tpu.train.stream import train
+    """A batch size that doesn't divide the mesh's data axis stays
+    data-parallel: the index batch is padded to the axis multiple and the
+    pad rows are zero-weighted (make_weighted_loss_fn), so the per-batch
+    losses match the host-fed unpadded run exactly (up to reduction
+    order)."""
+    from rawaudiovae_kelsey_tpu.train import loop as L
+    from rawaudiovae_kelsey_tpu.train import stream
 
-    cfg = small_cfg(scratch_dataset)
-    cfg.tpu.device_resident = "always"
-    cfg.training.batch_size = 36  # 36 % 8 != 0
-    cfg.training.total_num_frames = 36 * 6
-    cfg.training.checkpoint_interval = 0
-    ctx = train(cfg, verbose=False)
-    assert ctx.mesh is not None
-    hist = _loss_batch_history(ctx)
-    assert len(hist) == 6 and np.isfinite(hist).all()
-    assert (ctx.workspace.model_dir / "last_model.npz").exists()
+    runs = {}
+    for use_mesh in (True, False):
+        cfg = small_cfg(scratch_dataset)
+        cfg.tpu.device_resident = "always"
+        cfg.training.batch_size = 36  # 36 % 8 != 0 → 4 pad rows
+        cfg.training.total_num_frames = 36 * 6
+        cfg.training.checkpoint_interval = 0
+        ctx = L.setup(cfg, use_mesh=use_mesh)
+        try:
+            ctx = stream._run(ctx, cfg, verbose=False)
+        finally:
+            L.finish(ctx)
+        assert (ctx.mesh is not None) == use_mesh
+        runs[use_mesh] = _loss_batch_history(ctx)
+        assert (ctx.workspace.model_dir / "last_model.npz").exists()
+    assert len(runs[True]) == len(runs[False]) == 6
+    assert np.isfinite(runs[True]).all()
+    np.testing.assert_allclose(runs[True], runs[False],
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_epoch_trainer_mesh_sharded_resident(scratch_dataset):
