@@ -17,7 +17,7 @@ Flags:
     --steps N        timed dispatches per window (default 10)
     --chain N        optimizer steps per dispatch (default 100)
     --batch N        batch size (default 4096)
-    --precision P    highest | float32 | bfloat16 (default bfloat16)
+    --precision P    highest | high | float32 | bfloat16 (default bfloat16)
     --backend B      best (default: fastest measured config = xla) |
                      xla | pallas
     --no-torch       skip the torch baseline (vs_baseline falls back to a

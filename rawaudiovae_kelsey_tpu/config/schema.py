@@ -129,7 +129,9 @@ class ExtraConfig:
 class TPUConfig:
     """``[tpu]`` — new section; absent from reference configs (all defaults)."""
 
-    # Matmul/computation precision: "float32" | "bfloat16" | "highest".
+    # Matmul/computation precision: "float32" (1 bf16 MXU pass, ~1e-2 rel
+    # err) | "bfloat16" | "high" (bf16 3-pass, ~1e-6 rel err — the fast
+    # parity tier, ~1.6M frames/s) | "highest" (6-pass, true fp32).
     precision: str = "highest"
     # Kernel backend for the hot path: "xla" (always available) | "pallas".
     backend: str = "xla"
@@ -206,7 +208,8 @@ class Config:
         self.audio.validate()
         if self.training.batch_size <= 0:
             raise ValueError("batch_size must be positive")
-        if self.tpu.precision not in ("float32", "bfloat16", "highest"):
+        if self.tpu.precision not in ("float32", "bfloat16", "high",
+                                      "highest"):
             raise ValueError(f"unknown precision {self.tpu.precision!r}")
         if self.tpu.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.tpu.backend!r}")

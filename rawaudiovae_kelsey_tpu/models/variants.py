@@ -9,8 +9,9 @@ BASELINE.json names two extra configs the framework must cover:
 
 Both reuse the dense VAE's reparameterization and loss (models/vae.py), so a
 variant swap touches only the encode/decode pair.  Convolutions run in NWC
-layout with ``preferred_element_type=float32`` accumulation so XLA tiles them
-onto the MXU.
+layout so XLA tiles them onto the MXU; the MXU accumulates in f32
+internally, and activations stay in the compute dtype (bf16 under
+``[tpu] precision = bfloat16``).
 """
 
 from __future__ import annotations
@@ -78,9 +79,13 @@ _DN = ("NWC", "WIO", "NWC")
 
 
 def _conv(p, x, stride: int) -> jax.Array:
+    # No preferred_element_type: the MXU accumulates f32 internally either
+    # way, and forcing an f32 *output* under bf16 training broke dtype
+    # matching in the next layer and in the conv VJP (lax convs require
+    # identical operand dtypes).  Output dtype follows the operands.
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride,), padding="SAME",
-        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+        dimension_numbers=_DN,
     )
     return y + p["b"]
 
@@ -88,7 +93,7 @@ def _conv(p, x, stride: int) -> jax.Array:
 def _conv_transpose(p, x, stride: int) -> jax.Array:
     y = jax.lax.conv_transpose(
         x, p["w"], strides=(stride,), padding="SAME",
-        dimension_numbers=_DN, preferred_element_type=jnp.float32,
+        dimension_numbers=_DN,
     )
     return y + p["b"]
 

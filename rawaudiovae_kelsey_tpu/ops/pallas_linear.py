@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rawaudiovae_kelsey_tpu.ops.pallas_mlp import _interpret, _pad_batch
+from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
+    _interpret,
+    _pad_batch,
+    mosaic_precision_scope,
+)
 
 BLOCK_B = 128
 BLOCK_N = 256
@@ -59,22 +63,23 @@ def linear_fwd(x, w, b, act: str = "none",
         w = jnp.pad(w, ((0, 0), (0, pad_n)))
         b = jnp.pad(b, (0, pad_n))
     N = n + pad_n
-    out = pl.pallas_call(
-        functools.partial(_linear_kernel, act=act),
-        grid=(B // block_b, N // block_n),
-        in_specs=[
-            pl.BlockSpec((block_b, k), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_b, block_n), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
-        interpret=_interpret(),
-    )(x, w, b.reshape(1, -1))
+    with mosaic_precision_scope():
+        out = pl.pallas_call(
+            functools.partial(_linear_kernel, act=act),
+            grid=(B // block_b, N // block_n),
+            in_specs=[
+                pl.BlockSpec((block_b, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, block_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_b, block_n), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+            interpret=_interpret(),
+        )(x, w, b.reshape(1, -1))
     return out[:nrows, :n]
 
 

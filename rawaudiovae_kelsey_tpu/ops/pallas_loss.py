@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
+    mosaic_precision_scope,
     _interpret,
     _pad_batch,
     _tile,
@@ -60,23 +61,24 @@ def _loss_sums(recon, x, mu, logvar, block_b: int = 128):
     logvar, _ = _pad_batch(logvar, block_b)
     B, seg = recon.shape
     latent = mu.shape[1]
-    sq, kl = pl.pallas_call(
-        _loss_kernel,
-        grid=(B // block_b,),
-        in_specs=[
-            _tile(block_b, seg), _tile(block_b, seg),
-            _tile(block_b, latent), _tile(block_b, latent),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(recon, x, mu, logvar)
+    with mosaic_precision_scope():
+        sq, kl = pl.pallas_call(
+            _loss_kernel,
+            grid=(B // block_b,),
+            in_specs=[
+                _tile(block_b, seg), _tile(block_b, seg),
+                _tile(block_b, latent), _tile(block_b, latent),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(recon, x, mu, logvar)
     # padded rows contribute 0 to sq; for kl each padded row contributes
     # latent * (1 + 0 - 0 - 1) = 0 — both sums exact; n only matters for means
     return sq[0, 0], kl[0, 0], n

@@ -27,6 +27,7 @@ parity-checks them against the XLA implementations (tests/test_pallas.py).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Tuple
 
@@ -49,6 +50,26 @@ def _default_block(dtype) -> int:
 def _interpret() -> bool:
     platform = jax.devices()[0].platform.lower()
     return not ("tpu" in platform or "axon" in platform)
+
+
+def ambient_precision_tier() -> str:
+    """The jax.default_matmul_precision tier active at trace time
+    ("default" | "high" | "highest" | ...).  Config context managers are
+    part of the jit cache key, so reading this inside a jitted function
+    retraces correctly per tier."""
+    v = jax.config.jax_default_matmul_precision
+    return str(v).lower() if v is not None else "default"
+
+
+def mosaic_precision_scope():
+    """Context for tracing Mosaic kernels: Mosaic supports only DEFAULT and
+    HIGHEST dot precision — an ambient HIGH (bf16 3-pass) would abort
+    compilation, so upgrade it to HIGHEST (slower, never less accurate).
+    Kernels with a native multi-pass mode (ops/pallas_toeplitz) instead
+    switch to their bf16 hi/lo split under HIGH."""
+    if ambient_precision_tier() in ("high", "tensorfloat32", "bfloat16_3x"):
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
 
 
 def _pad_batch(x: jnp.ndarray, block_b: int) -> Tuple[jnp.ndarray, int]:
@@ -98,27 +119,28 @@ def encoder_fwd(w1, b1, w21, b21, w22, b22, x, block_b: int = 0):
     B, seg = x.shape
     units = w1.shape[1]
     latent = w21.shape[1]
-    mu, logvar, h = pl.pallas_call(
-        _enc_fwd_kernel,
-        grid=(B // block_b,),
-        in_specs=[
-            _tile(block_b, seg),
-            _whole((seg, units)), _whole((1, units)),
-            _whole((units, latent)), _whole((1, latent)),
-            _whole((units, latent)), _whole((1, latent)),
-        ],
-        out_specs=[
-            _tile(block_b, latent), _tile(block_b, latent),
-            _tile(block_b, units),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, latent), x.dtype),
-            jax.ShapeDtypeStruct((B, latent), x.dtype),
-            jax.ShapeDtypeStruct((B, units), x.dtype),
-        ],
-        interpret=_interpret(),
-    )(x, w1, b1.reshape(1, -1), w21, b21.reshape(1, -1),
-      w22, b22.reshape(1, -1))
+    with mosaic_precision_scope():
+        mu, logvar, h = pl.pallas_call(
+            _enc_fwd_kernel,
+            grid=(B // block_b,),
+            in_specs=[
+                _tile(block_b, seg),
+                _whole((seg, units)), _whole((1, units)),
+                _whole((units, latent)), _whole((1, latent)),
+                _whole((units, latent)), _whole((1, latent)),
+            ],
+            out_specs=[
+                _tile(block_b, latent), _tile(block_b, latent),
+                _tile(block_b, units),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, latent), x.dtype),
+                jax.ShapeDtypeStruct((B, latent), x.dtype),
+                jax.ShapeDtypeStruct((B, units), x.dtype),
+            ],
+            interpret=_interpret(),
+        )(x, w1, b1.reshape(1, -1), w21, b21.reshape(1, -1),
+          w22, b22.reshape(1, -1))
     return mu[:n], logvar[:n], h[:n]
 
 
@@ -143,21 +165,22 @@ def decoder_fwd(w3, b3, w4, b4, z, block_b: int = 0):
     B, latent = z.shape
     units = w3.shape[1]
     seg = w4.shape[1]
-    y, h3 = pl.pallas_call(
-        _dec_fwd_kernel,
-        grid=(B // block_b,),
-        in_specs=[
-            _tile(block_b, latent),
-            _whole((latent, units)), _whole((1, units)),
-            _whole((units, seg)), _whole((1, seg)),
-        ],
-        out_specs=[_tile(block_b, seg), _tile(block_b, units)],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, seg), z.dtype),
-            jax.ShapeDtypeStruct((B, units), z.dtype),
-        ],
-        interpret=_interpret(),
-    )(z, w3, b3.reshape(1, -1), w4, b4.reshape(1, -1))
+    with mosaic_precision_scope():
+        y, h3 = pl.pallas_call(
+            _dec_fwd_kernel,
+            grid=(B // block_b,),
+            in_specs=[
+                _tile(block_b, latent),
+                _whole((latent, units)), _whole((1, units)),
+                _whole((units, seg)), _whole((1, seg)),
+            ],
+            out_specs=[_tile(block_b, seg), _tile(block_b, units)],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, seg), z.dtype),
+                jax.ShapeDtypeStruct((B, units), z.dtype),
+            ],
+            interpret=_interpret(),
+        )(z, w3, b3.reshape(1, -1), w4, b4.reshape(1, -1))
     return y[:n], h3[:n]
 
 
@@ -176,14 +199,15 @@ def matmul_nt(a, w, block_b: int = 0):
     a, nrows = _pad_batch(a, block_b)
     B, n = a.shape
     m = w.shape[0]
-    out = pl.pallas_call(
-        _matmul_nt_kernel,
-        grid=(B // block_b,),
-        in_specs=[_tile(block_b, n), _whole((m, n))],
-        out_specs=_tile(block_b, m),
-        out_shape=jax.ShapeDtypeStruct((B, m), a.dtype),
-        interpret=_interpret(),
-    )(a, w)
+    with mosaic_precision_scope():
+        out = pl.pallas_call(
+            _matmul_nt_kernel,
+            grid=(B // block_b,),
+            in_specs=[_tile(block_b, n), _whole((m, n))],
+            out_specs=_tile(block_b, m),
+            out_shape=jax.ShapeDtypeStruct((B, m), a.dtype),
+            interpret=_interpret(),
+        )(a, w)
     return out[:nrows]
 
 
@@ -203,14 +227,15 @@ def matmul_nt_mask(a, w, gate, block_b: int = 0):
     gate, _ = _pad_batch(gate, block_b)
     B, n = a.shape
     m = w.shape[0]
-    out = pl.pallas_call(
-        _matmul_nt_mask_kernel,
-        grid=(B // block_b,),
-        in_specs=[_tile(block_b, n), _whole((m, n)), _tile(block_b, m)],
-        out_specs=_tile(block_b, m),
-        out_shape=jax.ShapeDtypeStruct((B, m), a.dtype),
-        interpret=_interpret(),
-    )(a, w, gate)
+    with mosaic_precision_scope():
+        out = pl.pallas_call(
+            _matmul_nt_mask_kernel,
+            grid=(B // block_b,),
+            in_specs=[_tile(block_b, n), _whole((m, n)), _tile(block_b, m)],
+            out_specs=_tile(block_b, m),
+            out_shape=jax.ShapeDtypeStruct((B, m), a.dtype),
+            interpret=_interpret(),
+        )(a, w, gate)
     return out[:nrows]
 
 
@@ -234,18 +259,19 @@ def matmul_nt2_mask(a1, w1, a2, w2, gate, block_b: int = 0):
     gate, _ = _pad_batch(gate, block_b)
     B, n = a1.shape
     m = w1.shape[0]
-    out = pl.pallas_call(
-        _matmul_nt2_mask_kernel,
-        grid=(B // block_b,),
-        in_specs=[
-            _tile(block_b, n), _whole((m, n)),
-            _tile(block_b, n), _whole((m, n)),
-            _tile(block_b, m),
-        ],
-        out_specs=_tile(block_b, m),
-        out_shape=jax.ShapeDtypeStruct((B, m), a1.dtype),
-        interpret=_interpret(),
-    )(a1, w1, a2, w2, gate)
+    with mosaic_precision_scope():
+        out = pl.pallas_call(
+            _matmul_nt2_mask_kernel,
+            grid=(B // block_b,),
+            in_specs=[
+                _tile(block_b, n), _whole((m, n)),
+                _tile(block_b, n), _whole((m, n)),
+                _tile(block_b, m),
+            ],
+            out_specs=_tile(block_b, m),
+            out_shape=jax.ShapeDtypeStruct((B, m), a1.dtype),
+            interpret=_interpret(),
+        )(a1, w1, a2, w2, gate)
     return out[:nrows]
 
 
@@ -272,17 +298,18 @@ def grad_accum(a, b, block_b: int = 0):
     b, _ = _pad_batch(b, block_b)
     B, n = a.shape
     m = b.shape[1]
-    dw, db = pl.pallas_call(
-        _grad_accum_kernel,
-        grid=(B // block_b,),
-        in_specs=[_tile(block_b, n), _tile(block_b, m)],
-        out_specs=[_whole((n, m)), _whole((1, m))],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, m), jnp.float32),
-            jax.ShapeDtypeStruct((1, m), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(a, b)
+    with mosaic_precision_scope():
+        dw, db = pl.pallas_call(
+            _grad_accum_kernel,
+            grid=(B // block_b,),
+            in_specs=[_tile(block_b, n), _tile(block_b, m)],
+            out_specs=[_whole((n, m)), _whole((1, m))],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, m), jnp.float32),
+                jax.ShapeDtypeStruct((1, m), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(a, b)
     return dw, db.reshape(-1)
 
 

@@ -47,7 +47,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rawaudiovae_kelsey_tpu.ops.pallas_mlp import _interpret
+from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
+    _interpret,
+    ambient_precision_tier,
+    mosaic_precision_scope,
+)
 
 # Per-grid-step VMEM budget (bytes).  The v5e scoped limit is 16 MB and the
 # stack must hold the double-buffered in/out blocks, the f32 accumulator
@@ -168,26 +172,33 @@ def toeplitz_fwd(x: jax.Array, w: jax.Array, b: jax.Array,
     tb = pick_batch_tile(B, nb, G, t, N, x.dtype.itemsize)
     if tb == 0:
         raise ValueError("toeplitz block exceeds VMEM budget; use fallback")
+    if (passes == 1 and x.dtype == jnp.float32
+            and ambient_precision_tier() in ("high", "tensorfloat32",
+                                             "bfloat16_3x")):
+        # the ambient HIGH tier maps to this kernel's native bf16 hi/lo
+        # split (~1e-6 rel err) instead of Mosaic's unsupported 3-pass
+        passes = 4
     pad_b = (-B) % tb
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
-    out = pl.pallas_call(
-        functools.partial(_toeplitz_kernel, kb=kb, t=t, shift=shift,
-                          act=act, passes=passes),
-        grid=((B + pad_b) // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, nb, G), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kb, G, N), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, t, N), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B + pad_b, t, N), x.dtype),
-        interpret=_interpret(),
-    )(x, w, b.reshape(1, 1, -1))
+    with mosaic_precision_scope():
+        out = pl.pallas_call(
+            functools.partial(_toeplitz_kernel, kb=kb, t=t, shift=shift,
+                              act=act, passes=passes),
+            grid=((B + pad_b) // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, nb, G), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kb, G, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tb, t, N), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B + pad_b, t, N), x.dtype),
+            interpret=_interpret(),
+        )(x, w, b.reshape(1, 1, -1))
     return out[:B]
 
 

@@ -24,6 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
+    mosaic_precision_scope,
     DEFAULT_BLOCK_B,
     _interpret,
     _pad_batch,
@@ -78,21 +79,22 @@ def quantized_decoder_fwd(qparams, z, block_b: int = DEFAULT_BLOCK_B):
     B, latent = z.shape
     units = qparams["fc3"]["q"].shape[1]
     seg = qparams["fc4"]["q"].shape[1]
-    y = pl.pallas_call(
-        _qdec_kernel,
-        grid=(B // block_b,),
-        in_specs=[
-            _tile(block_b, latent),
-            _whole((latent, units)), _whole((1, units)), _whole((1, units)),
-            _whole((units, seg)), _whole((1, seg)), _whole((1, seg)),
-        ],
-        out_specs=_tile(block_b, seg),
-        out_shape=jax.ShapeDtypeStruct((B, seg), jnp.float32),
-        interpret=_interpret(),
-    )(z, qparams["fc3"]["q"], qparams["fc3"]["scale"],
-      qparams["fc3"]["b"].reshape(1, -1),
-      qparams["fc4"]["q"], qparams["fc4"]["scale"],
-      qparams["fc4"]["b"].reshape(1, -1))
+    with mosaic_precision_scope():
+        y = pl.pallas_call(
+            _qdec_kernel,
+            grid=(B // block_b,),
+            in_specs=[
+                _tile(block_b, latent),
+                _whole((latent, units)), _whole((1, units)), _whole((1, units)),
+                _whole((units, seg)), _whole((1, seg)), _whole((1, seg)),
+            ],
+            out_specs=_tile(block_b, seg),
+            out_shape=jax.ShapeDtypeStruct((B, seg), jnp.float32),
+            interpret=_interpret(),
+        )(z, qparams["fc3"]["q"], qparams["fc3"]["scale"],
+          qparams["fc3"]["b"].reshape(1, -1),
+          qparams["fc4"]["q"], qparams["fc4"]["scale"],
+          qparams["fc4"]["b"].reshape(1, -1))
     return y[:n]
 
 

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
+    mosaic_precision_scope,
     DEFAULT_BLOCK_B,
     _interpret,
     _pad_batch,
@@ -84,18 +85,19 @@ def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
     logvar2, _ = _pad_batch(logvar, block_b)
     B, latent = mu2.shape
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-    z = pl.pallas_call(
-        _reparam_kernel,
-        grid=(B // block_b,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            _tile(block_b, latent),
-            _tile(block_b, latent),
-        ],
-        out_specs=_tile(block_b, latent),
-        out_shape=jax.ShapeDtypeStruct((B, latent), mu.dtype),
-        interpret=_interpret(),
-    )(seed_arr, mu2, logvar2)
+    with mosaic_precision_scope():
+        z = pl.pallas_call(
+            _reparam_kernel,
+            grid=(B // block_b,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                _tile(block_b, latent),
+                _tile(block_b, latent),
+            ],
+            out_specs=_tile(block_b, latent),
+            out_shape=jax.ShapeDtypeStruct((B, latent), mu.dtype),
+            interpret=_interpret(),
+        )(seed_arr, mu2, logvar2)
     return z[:n]
 
 

@@ -156,6 +156,29 @@ def test_bfloat16_precision_trains():
     assert state.params["fc1"]["w"].dtype == jnp.float32
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_high_precision_tier(backend):
+    """precision=high — bf16 3-pass (XLA) / hi-lo-split or HIGHEST-pinned
+    kernels (Pallas) — must track the 6-pass fp32 loss closely and train.
+    On TPU this tier measures ~2× the 6-pass throughput (docs/PERF.md)."""
+    batch = batch_of(small_cfg())
+    losses = {}
+    for prec in ("highest", "high"):
+        cfg = small_cfg(precision=prec, backend=backend)
+        model, opt, state = make_state(cfg, seed=1)
+        step = build_train_step(model, cfg, opt, donate=False)
+        _, m = step(state, batch)
+        losses[prec] = float(m["loss"])
+        assert np.isfinite(losses[prec])
+    assert losses["high"] == pytest.approx(losses["highest"], rel=1e-3)
+
+
+def test_unknown_precision_rejected():
+    cfg = small_cfg(precision="fp8")
+    with pytest.raises(ValueError, match="unknown precision"):
+        cfg.validate()
+
+
 def test_adam_update_parity_with_torch():
     """One full step (forward/backward/Adam) against torch on identical
     weights, batch, and a deterministic latent (logvar path exercised, eps

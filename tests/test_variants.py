@@ -136,3 +136,34 @@ def test_variant_train_step_learns(arch, kw):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.7
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.parametrize("arch,kw", [
+    ("deep", dict(hidden_dims="256,128")),
+    ("conv1d", dict(conv_channels="8,16", conv_kernel=5, conv_stride=4)),
+])
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_variant_bf16_trains(arch, kw, backend):
+    """Variants must train under precision=bfloat16 (configs/conv1d.ini ships
+    it).  Regression: lax convs require matching operand dtypes, so conv
+    outputs must downcast back to the compute dtype after f32 accumulation
+    (models/variants.py:_conv) — mixed f32/bf16 used to crash layer 2."""
+    from rawaudiovae_kelsey_tpu.parallel import build_train_step
+    from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
+
+    cfg = _cfg(arch, seg=256, latent=16, **kw)
+    cfg.audio.hop_length = 64
+    cfg.tpu.precision = "bfloat16"
+    cfg.tpu.backend = backend
+    model = build_model(cfg)
+    opt = build_optimizer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    state = TrainState.create(params, opt.init(params), seed=0)
+    step = build_train_step(model, cfg, opt)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(
+        rng.uniform(-1, 1, (32, 256)).astype(np.float32))
+    for _ in range(5):
+        state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert state.params["mu_head"]["w"].dtype == jnp.float32  # fp32 master
