@@ -101,15 +101,13 @@ def build_model(cfg: Config) -> ModelDef:
         encode_fn = partial(variants.encode_conv1d, stride=stride)
         decode_fn = partial(variants.decode_conv1d, stride=stride,
                             width=width, channels=channels[-1])
-        if cfg.tpu.backend == "pallas":
-            from rawaudiovae_kelsey_tpu.ops import (
-                conv_decode_pallas,
-                conv_encode_pallas,
-            )
-
-            encode_fn = partial(conv_encode_pallas, stride=stride)
-            decode_fn = partial(conv_decode_pallas, stride=stride,
-                                width=width, channels=channels[-1])
+        # backend=pallas deliberately resolves to the XLA conv lowering:
+        # a per-layer sweep of every configs/conv1d.ini shape at bf16
+        # batch 4096 measured XLA implicit-GEMM ahead of the Toeplitz
+        # kernel on ALL eight layers (1.7-18.7x — small channel counts
+        # starve the MXU in the flat-stream formulation; docs/PERF.md).
+        # ops.conv_encode_pallas/conv_decode_pallas remain available as
+        # explicit ops (fused epilogues, 4-pass fp32 precision mode).
         return ModelDef(
             name="conv1d",
             segment_length=seg,

@@ -8,6 +8,14 @@ flat stream, the K-sample halo windows are gathered *in VMEM*, and bias +
 activation fuse into the GEMM epilogue.  No im2col patches ever touch HBM,
 in forward or backward.
 
+**Status (measured):** XLA's implicit-GEMM lowering beats this path on
+every layer of the conv1d variant (1.7–18.7× per-layer at bf16 batch
+4096 — small channel counts starve the MXU per tap; full sweep in
+docs/PERF.md), so ``backend = pallas`` routes conv models to the XLA
+lowering and these functions are an explicit op-level API: guaranteed
+epilogue fusion, the 4-pass fp32 precision mode, and the documented
+conv-as-Toeplitz mapping.
+
 Mappings (derivations in pallas_toeplitz's module docstring):
 
 * ``conv1d_pallas``: SAME-padded stride-S conv via the free reshape to
@@ -61,7 +69,9 @@ def conv1d_pallas(x: jax.Array, w: jax.Array, b: jax.Array, stride: int,
     q = -(-(lo * cin) // G)
     r0 = q * G - lo * cin
     KB = -(-(r0 + K * cin) // G)
-    if pick_batch_tile(B, T, G, T, cout, x.dtype.itemsize) == 0:
+    # gate on both the forward and the VJP's dx Toeplitz (G/N swapped)
+    if (pick_batch_tile(B, T, G, T, cout, x.dtype.itemsize, KB) == 0
+            or pick_batch_tile(B, T, cout, T, G, x.dtype.itemsize, KB) == 0):
         return _conv1d_im2col(x, w, b, stride, act)
     xf = x.reshape(B, T, G)                        # free: row-major
     wpad = jnp.pad(w.reshape(K * cin, cout),
@@ -96,7 +106,10 @@ def conv1d_transpose_pallas(x: jax.Array, w: jax.Array, b: jax.Array,
     B, L, cin = x.shape
     K, _, cout = w.shape
     dmin, kp, rows, phases, taps = _transpose_plan(K, stride, cin, cout)
-    if pick_batch_tile(B, L, cin, L, stride * cout, x.dtype.itemsize) == 0:
+    if (pick_batch_tile(B, L, cin, L, stride * cout, x.dtype.itemsize,
+                        kp) == 0
+            or pick_batch_tile(B, L, stride * cout, L, cin,
+                               x.dtype.itemsize, kp) == 0):
         return _conv1d_transpose_im2col(x, w, b, stride, act)
     # window t reads raw x rows [t + dmin, t + dmin + kp); out-of-range
     # rows contribute zero inside the kernel — no jnp.pad copy.

@@ -13,8 +13,12 @@ row ``t`` reads ``KB`` consecutive G-blocks — the halo — straight from
 VMEM.  SAME-padding is folded into ``shift`` plus static per-tap row
 ranges inside the kernel (each tap accumulates ``acc[:, a:e] +=
 x[:, a+o:e+o] @ w[j]``), so no ``jnp.pad`` copy ever happens.  The only
-HBM traffic is one pass over the raw signal and one over the output — the
-conv runs at the memory roofline.  Both conv directions map onto it:
+HBM traffic is one pass over the raw signal and one over the output.
+(HBM-minimal is necessary but not sufficient: at the conv1d variant's
+small channel counts the per-tap dots starve the MXU and XLA's
+implicit-GEMM conv wins anyway — measured per-layer in docs/PERF.md, so
+the model registry routes conv models to XLA and this primitive is an
+explicit op-level capability.)  Both conv directions map onto it:
 
 * **Strided conv1d** (encoder, reference analog ``rawvae/model.py:13-21``):
   flat window t covers ``[t*S*Cin - lo*Cin, … + K*Cin)``.  With ``G =
@@ -69,16 +73,33 @@ def _act(name: str, x):
     raise ValueError(f"unknown activation {name!r}")
 
 
+def _pad_tile(sub: int, lane: int, itemsize: int) -> tuple[int, int]:
+    """VMEM blocks are stored in (sublane, lane) tiles: lane dim padded to
+    128, sublane dim to 8 fp32 / 16 bf16 / 32 int8.  A (…, nb, 4) block
+    therefore occupies 32× its nominal bytes — this padding, not the
+    nominal size, is what Mosaic's stack allocator charges (measured via a
+    scoped-VMEM OOM at nominal 5 MB / actual 16.8 MB on a G=32, n=4
+    shape)."""
+    s = {4: 8, 2: 16, 1: 32}.get(itemsize, 8)
+    return -(-sub // s) * s, -(-lane // 128) * 128
+
+
 def pick_batch_tile(B: int, nb: int, G: int, t: int, n: int,
-                    itemsize: int) -> int:
-    """Largest batch tile fitting the VMEM budget.  Footprint per batch row:
-    double-buffered in (nb*G) and out (t*n) blocks, the loaded tile (or
-    its bf16 hi/lo split — same bytes), and ~4 f32 result-sized values
-    (per-tap panel, shifted copy, accumulator).  0 means even one row does
-    not fit (caller must fall back)."""
-    per_row = (2 * itemsize * (nb * G + t * n)   # pipelined in/out blocks
-               + itemsize * nb * G               # loaded tile / hi+lo split
-               + 4 * 4 * nb * n)                 # f32 panel values
+                    itemsize: int, kb: int = 3) -> int:
+    """Largest batch tile fitting the VMEM budget.  Footprint per batch row
+    (all dims tile-padded, see :func:`_pad_tile`): double-buffered in
+    (nb×G) and out (t×n) blocks, the loaded tile (or its bf16 hi/lo split —
+    same bytes), and the f32 panel values.  The tap loop is unrolled and
+    Mosaic keeps ~4 live (nb, n) f32 values per tap — the panel, the
+    shifted slice, its padded copy, and an add temporary — plus the
+    accumulator and bias broadcast, so budget (4·kb + 3) panels.  0 means
+    even one row does not fit (caller must fall back)."""
+    nb_i, g_i = _pad_tile(nb, G, itemsize)
+    t_i, n_i = _pad_tile(t, n, itemsize)
+    nb_f, n_f = _pad_tile(nb, n, 4)
+    per_row = (2 * itemsize * (nb_i * g_i + t_i * n_i)  # pipelined in/out
+               + itemsize * nb_i * g_i                  # loaded / hi+lo
+               + (4 * kb + 3) * 4 * nb_f * n_f)         # f32 panel values
     if per_row > _VMEM_BUDGET:
         return 0
     return int(min(B, 32, _VMEM_BUDGET // per_row))
@@ -169,7 +190,7 @@ def toeplitz_fwd(x: jax.Array, w: jax.Array, b: jax.Array,
     B, nb, G = x.shape
     kb, _, N = w.shape
     t = nb - kb + 1 if t_out is None else t_out
-    tb = pick_batch_tile(B, nb, G, t, N, x.dtype.itemsize)
+    tb = pick_batch_tile(B, nb, G, t, N, x.dtype.itemsize, kb)
     if tb == 0:
         raise ValueError("toeplitz block exceeds VMEM budget; use fallback")
     if (passes == 1 and x.dtype == jnp.float32
