@@ -212,6 +212,35 @@ def test_pallas_linear_parity_and_grads():
                                        atol=2e-4, rtol=1e-3, err_msg=act)
 
 
+def test_pallas_linear_ksplit_parity_and_grads():
+    """Contraction-split fused linear (the large-layer path): fwd + grads
+    match XLA at a shape that triggers the k-split dispatch, including
+    ragged n and k (padding must contribute nothing)."""
+    from rawaudiovae_kelsey_tpu.ops import pallas_linear
+    from rawaudiovae_kelsey_tpu.ops.pallas_linear import (
+        KSPLIT_BLOCK, KSPLIT_BLOCK_K, linear_ksplit_fwd)
+
+    rng = np.random.default_rng(1)
+    B, k, n = 2 * KSPLIT_BLOCK, KSPLIT_BLOCK_K + 64, KSPLIT_BLOCK + 32
+    x = jnp.asarray(rng.standard_normal((B, k)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+    y = linear_ksplit_fwd(x, w, b, "relu")
+    ref = jax.nn.relu(x @ w + b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    # the public op must dispatch to k-split at this shape and agree
+    y2 = pallas_linear(x, w, b, "relu")
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    gp = jax.grad(lambda *a: jnp.mean(jnp.square(pallas_linear(*a, "relu"))),
+                  argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(lambda *a: jnp.mean(jnp.square(
+        jax.nn.relu(a[0] @ a[1] + a[2]))), argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_deep_variant_pallas_backend():
     """backend=pallas on the deep family: forward parity + a train step."""
     from rawaudiovae_kelsey_tpu.parallel import build_train_step
