@@ -39,11 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_B = 128          # fp32 tiles; bf16 halves VMEM so 256 fits
 
 
-def _default_block(dtype) -> int:
+def _default_block(dtype, passes: int = 1) -> int:
     # batch-tile rows sized to the ~16 MB VMEM scoped limit: 16-bit data
     # fits larger tiles (512 rows measured +2% full-step throughput over 256
     # at bf16 batch 4096 — fewer grid steps amortize the weight-resident
-    # panels better)
+    # panels better).  The 3-pass tier's bf16 weight stacks would fit
+    # 256-row fp32 tiles, but 256 measured no faster than 128 (1.26 vs
+    # 1.28 M frames/s) — keep the common tile.
     return 512 if jnp.dtype(dtype).itemsize <= 2 else DEFAULT_BLOCK_B
 
 
@@ -64,12 +66,68 @@ def ambient_precision_tier() -> str:
 def mosaic_precision_scope():
     """Context for tracing Mosaic kernels: Mosaic supports only DEFAULT and
     HIGHEST dot precision — an ambient HIGH (bf16 3-pass) would abort
-    compilation, so upgrade it to HIGHEST (slower, never less accurate).
-    Kernels with a native multi-pass mode (ops/pallas_toeplitz) instead
-    switch to their bf16 hi/lo split under HIGH."""
+    compilation, so upgrade it to HIGHEST for any dot that hasn't pinned
+    its own precision.  The dense kernels and the Toeplitz conv instead
+    run their native bf16 hi/lo split under HIGH (:func:`_ambient_passes`),
+    whose dots pin DEFAULT explicitly and ignore the ambient tier."""
     if ambient_precision_tier() in ("high", "tensorfloat32", "bfloat16_3x"):
         return jax.default_matmul_precision("highest")
     return contextlib.nullcontext()
+
+
+def _split_hi_lo(v):
+    """f32 → (bf16 hi, bf16 lo) with v ≈ hi + lo.  The hi part is rounded
+    via bit arithmetic, not dtype casts: with --xla_allow_excess_precision
+    the compiler folds a bf16→f32 round-trip into identity, which would
+    silently zero the lo term and degrade a 3-pass dot to single-pass."""
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        (u + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000), jnp.float32)
+    return hi.astype(jnp.bfloat16), (v - hi).astype(jnp.bfloat16)
+
+
+def _ambient_passes(dtype) -> int:
+    """Dot passes for the dense kernels at trace time: fp32 data under the
+    ambient HIGH tier runs the bf16 hi/lo 3-pass decomposition (~1e-6 rel
+    err, XLA's own bf16_3x recipe) natively inside the kernels — Mosaic
+    can't express HIGH, and upgrading to HIGHEST (6-pass) would leave the
+    tier 2× slower than XLA's 3-pass."""
+    if (jnp.dtype(dtype) == jnp.float32
+            and ambient_precision_tier() in ("high", "tensorfloat32",
+                                             "bfloat16_3x")):
+        return 3
+    return 1
+
+
+def _stack_hi_lo(w):
+    """f32 weight → (2, …) bf16 stack [hi, lo], computed OUTSIDE the kernel:
+    VMEM then holds half the bytes of the f32 original and the split VPU
+    work isn't redone on every grid step."""
+    hi, lo = _split_hi_lo(w)
+    return jnp.stack([hi, lo])
+
+
+def _dot_default(u, v, dims=(((1,), (0,)), ((), ()))):
+    return jax.lax.dot_general(u, v, dims,
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+
+
+def _mm(a, w, passes: int, transpose_w: bool = False):
+    """a @ w (or a @ wᵀ) with f32 accumulation.  passes=3 → the bf16 hi/lo
+    3-pass decomposition: ``w`` is then the pre-split (2, …) bf16 stack
+    from :func:`_stack_hi_lo` and ``a`` (f32) is split per tile in-kernel;
+    the dots pin DEFAULT precision so the ambient tier can't touch them."""
+    if passes == 3:
+        wh, wl = w[0], w[1]
+        if transpose_w:
+            wh, wl = wh.T, wl.T
+        ah, al = _split_hi_lo(a)
+        return (_dot_default(ah, wh) + _dot_default(ah, wl)) \
+            + _dot_default(al, wh)
+    if transpose_w:
+        w = w.T
+    return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
 
 def _pad_batch(x: jnp.ndarray, block_b: int) -> Tuple[jnp.ndarray, int]:
@@ -94,40 +152,39 @@ def _whole(shape):
 # ============================================================ forward fused =
 
 def _enc_fwd_kernel(x_ref, w1_ref, b1_ref, w21_ref, b21_ref, w22_ref, b22_ref,
-                    mu_ref, logvar_ref, h_ref):
+                    mu_ref, logvar_ref, h_ref, *, passes=1):
     x = x_ref[:]
-    h = jnp.maximum(
-        jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
-        + b1_ref[:], 0.0,
-    )
+    h = jnp.maximum(_mm(x, w1_ref[:], passes) + b1_ref[:], 0.0)
     h_ref[:] = h.astype(h_ref.dtype)
     mu_ref[:] = (
-        jnp.dot(h.astype(x.dtype), w21_ref[:],
-                preferred_element_type=jnp.float32) + b21_ref[:]
+        _mm(h.astype(x.dtype), w21_ref[:], passes) + b21_ref[:]
     ).astype(mu_ref.dtype)
     logvar_ref[:] = (
-        jnp.dot(h.astype(x.dtype), w22_ref[:],
-                preferred_element_type=jnp.float32) + b22_ref[:]
+        _mm(h.astype(x.dtype), w22_ref[:], passes) + b22_ref[:]
     ).astype(logvar_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
 def encoder_fwd(w1, b1, w21, b21, w22, b22, x, block_b: int = 0):
     """Fused relu(x@W1+b1) → (mu, logvar, h)."""
-    block_b = block_b or _default_block(x.dtype)
+    passes = _ambient_passes(x.dtype)
+    block_b = block_b or _default_block(x.dtype, passes)
     x, n = _pad_batch(x, block_b)
     B, seg = x.shape
     units = w1.shape[1]
     latent = w21.shape[1]
+    if passes == 3:
+        w1, w21, w22 = (_stack_hi_lo(w) for w in (w1, w21, w22))
+    wspec = (lambda s: _whole((2, *s))) if passes == 3 else _whole
     with mosaic_precision_scope():
         mu, logvar, h = pl.pallas_call(
-            _enc_fwd_kernel,
+            functools.partial(_enc_fwd_kernel, passes=passes),
             grid=(B // block_b,),
             in_specs=[
                 _tile(block_b, seg),
-                _whole((seg, units)), _whole((1, units)),
-                _whole((units, latent)), _whole((1, latent)),
-                _whole((units, latent)), _whole((1, latent)),
+                wspec((seg, units)), _whole((1, units)),
+                wspec((units, latent)), _whole((1, latent)),
+                wspec((units, latent)), _whole((1, latent)),
             ],
             out_specs=[
                 _tile(block_b, latent), _tile(block_b, latent),
@@ -144,35 +201,36 @@ def encoder_fwd(w1, b1, w21, b21, w22, b22, x, block_b: int = 0):
     return mu[:n], logvar[:n], h[:n]
 
 
-def _dec_fwd_kernel(z_ref, w3_ref, b3_ref, w4_ref, b4_ref, y_ref, h3_ref):
+def _dec_fwd_kernel(z_ref, w3_ref, b3_ref, w4_ref, b4_ref, y_ref, h3_ref,
+                    *, passes=1):
     z = z_ref[:]
-    h3 = jnp.maximum(
-        jnp.dot(z, w3_ref[:], preferred_element_type=jnp.float32)
-        + b3_ref[:], 0.0,
-    )
+    h3 = jnp.maximum(_mm(z, w3_ref[:], passes) + b3_ref[:], 0.0)
     h3_ref[:] = h3.astype(h3_ref.dtype)
     y_ref[:] = jnp.tanh(
-        jnp.dot(h3.astype(z.dtype), w4_ref[:],
-                preferred_element_type=jnp.float32) + b4_ref[:]
+        _mm(h3.astype(z.dtype), w4_ref[:], passes) + b4_ref[:]
     ).astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
 def decoder_fwd(w3, b3, w4, b4, z, block_b: int = 0):
     """Fused tanh(relu(z@W3+b3)@W4+b4) → (y, h3)."""
-    block_b = block_b or _default_block(z.dtype)
+    passes = _ambient_passes(z.dtype)
+    block_b = block_b or _default_block(z.dtype, passes)
     z, n = _pad_batch(z, block_b)
     B, latent = z.shape
     units = w3.shape[1]
     seg = w4.shape[1]
+    if passes == 3:
+        w3, w4 = _stack_hi_lo(w3), _stack_hi_lo(w4)
+    wspec = (lambda s: _whole((2, *s))) if passes == 3 else _whole
     with mosaic_precision_scope():
         y, h3 = pl.pallas_call(
-            _dec_fwd_kernel,
+            functools.partial(_dec_fwd_kernel, passes=passes),
             grid=(B // block_b,),
             in_specs=[
                 _tile(block_b, latent),
-                _whole((latent, units)), _whole((1, units)),
-                _whole((units, seg)), _whole((1, seg)),
+                wspec((latent, units)), _whole((1, units)),
+                wspec((units, seg)), _whole((1, seg)),
             ],
             out_specs=[_tile(block_b, seg), _tile(block_b, units)],
             out_shape=[
@@ -186,24 +244,27 @@ def decoder_fwd(w3, b3, w4, b4, z, block_b: int = 0):
 
 # ================================================== backward building blocks
 
-def _matmul_nt_kernel(a_ref, w_ref, out_ref):
-    out_ref[:] = jnp.dot(
-        a_ref[:], w_ref[:].T, preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+def _matmul_nt_kernel(a_ref, w_ref, out_ref, *, passes=1):
+    out_ref[:] = _mm(a_ref[:], w_ref[:], passes,
+                     transpose_w=True).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b",))
 def matmul_nt(a, w, block_b: int = 0):
     """(B, n) @ (m, n)ᵀ → (B, m); weights VMEM-resident, batch tiled."""
-    block_b = block_b or _default_block(a.dtype)
+    passes = _ambient_passes(a.dtype)
+    block_b = block_b or _default_block(a.dtype, passes)
     a, nrows = _pad_batch(a, block_b)
     B, n = a.shape
     m = w.shape[0]
+    if passes == 3:
+        w = _stack_hi_lo(w)
+    wspec = _whole((2, m, n)) if passes == 3 else _whole((m, n))
     with mosaic_precision_scope():
         out = pl.pallas_call(
-            _matmul_nt_kernel,
+            functools.partial(_matmul_nt_kernel, passes=passes),
             grid=(B // block_b,),
-            in_specs=[_tile(block_b, n), _whole((m, n))],
+            in_specs=[_tile(block_b, n), wspec],
             out_specs=_tile(block_b, m),
             out_shape=jax.ShapeDtypeStruct((B, m), a.dtype),
             interpret=_interpret(),
@@ -211,8 +272,8 @@ def matmul_nt(a, w, block_b: int = 0):
     return out[:nrows]
 
 
-def _matmul_nt_mask_kernel(a_ref, w_ref, gate_ref, out_ref):
-    prod = jnp.dot(a_ref[:], w_ref[:].T, preferred_element_type=jnp.float32)
+def _matmul_nt_mask_kernel(a_ref, w_ref, gate_ref, out_ref, *, passes=1):
+    prod = _mm(a_ref[:], w_ref[:], passes, transpose_w=True)
     # compare in f32: Mosaic rejects bf16 cmpf on this target
     gate = gate_ref[:].astype(jnp.float32)
     out_ref[:] = jnp.where(gate > 0.0, prod, 0.0).astype(out_ref.dtype)
@@ -221,17 +282,21 @@ def _matmul_nt_mask_kernel(a_ref, w_ref, gate_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("block_b",))
 def matmul_nt_mask(a, w, gate, block_b: int = 0):
     """ReLU-backward step: ``(a @ wᵀ) * (gate > 0)``."""
-    block_b = block_b or _default_block(a.dtype)
+    passes = _ambient_passes(a.dtype)
+    block_b = block_b or _default_block(a.dtype, passes)
     nrows = a.shape[0]
     a, _ = _pad_batch(a, block_b)
     gate, _ = _pad_batch(gate, block_b)
     B, n = a.shape
     m = w.shape[0]
+    if passes == 3:
+        w = _stack_hi_lo(w)
+    wspec = _whole((2, m, n)) if passes == 3 else _whole((m, n))
     with mosaic_precision_scope():
         out = pl.pallas_call(
-            _matmul_nt_mask_kernel,
+            functools.partial(_matmul_nt_mask_kernel, passes=passes),
             grid=(B // block_b,),
-            in_specs=[_tile(block_b, n), _whole((m, n)), _tile(block_b, m)],
+            in_specs=[_tile(block_b, n), wspec, _tile(block_b, m)],
             out_specs=_tile(block_b, m),
             out_shape=jax.ShapeDtypeStruct((B, m), a.dtype),
             interpret=_interpret(),
@@ -239,11 +304,10 @@ def matmul_nt_mask(a, w, gate, block_b: int = 0):
     return out[:nrows]
 
 
-def _matmul_nt2_mask_kernel(a1_ref, w1_ref, a2_ref, w2_ref, gate_ref, out_ref):
-    prod = (
-        jnp.dot(a1_ref[:], w1_ref[:].T, preferred_element_type=jnp.float32)
-        + jnp.dot(a2_ref[:], w2_ref[:].T, preferred_element_type=jnp.float32)
-    )
+def _matmul_nt2_mask_kernel(a1_ref, w1_ref, a2_ref, w2_ref, gate_ref, out_ref,
+                            *, passes=1):
+    prod = (_mm(a1_ref[:], w1_ref[:], passes, transpose_w=True)
+            + _mm(a2_ref[:], w2_ref[:], passes, transpose_w=True))
     gate = gate_ref[:].astype(jnp.float32)
     out_ref[:] = jnp.where(gate > 0.0, prod, 0.0).astype(out_ref.dtype)
 
@@ -252,20 +316,24 @@ def _matmul_nt2_mask_kernel(a1_ref, w1_ref, a2_ref, w2_ref, gate_ref, out_ref):
 def matmul_nt2_mask(a1, w1, a2, w2, gate, block_b: int = 0):
     """Two-head ReLU backward: ``(a1@w1ᵀ + a2@w2ᵀ) * (gate > 0)`` — the
     encoder's dh from (dmu, dlogvar)."""
-    block_b = block_b or _default_block(a1.dtype)
+    passes = _ambient_passes(a1.dtype)
+    block_b = block_b or _default_block(a1.dtype, passes)
     nrows = a1.shape[0]
     a1, _ = _pad_batch(a1, block_b)
     a2, _ = _pad_batch(a2, block_b)
     gate, _ = _pad_batch(gate, block_b)
     B, n = a1.shape
     m = w1.shape[0]
+    if passes == 3:
+        w1, w2 = _stack_hi_lo(w1), _stack_hi_lo(w2)
+    wspec = _whole((2, m, n)) if passes == 3 else _whole((m, n))
     with mosaic_precision_scope():
         out = pl.pallas_call(
-            _matmul_nt2_mask_kernel,
+            functools.partial(_matmul_nt2_mask_kernel, passes=passes),
             grid=(B // block_b,),
             in_specs=[
-                _tile(block_b, n), _whole((m, n)),
-                _tile(block_b, n), _whole((m, n)),
+                _tile(block_b, n), wspec,
+                _tile(block_b, n), wspec,
                 _tile(block_b, m),
             ],
             out_specs=_tile(block_b, m),
@@ -275,7 +343,7 @@ def matmul_nt2_mask(a1, w1, a2, w2, gate, block_b: int = 0):
     return out[:nrows]
 
 
-def _grad_accum_kernel(a_ref, b_ref, dw_ref, db_ref):
+def _grad_accum_kernel(a_ref, b_ref, dw_ref, db_ref, *, passes=1):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -285,7 +353,16 @@ def _grad_accum_kernel(a_ref, b_ref, dw_ref, db_ref):
 
     a = a_ref[:]
     b = b_ref[:]
-    dw_ref[:] += jnp.dot(a.T, b, preferred_element_type=jnp.float32)
+    if passes == 3:
+        # both operands are batch tiles — split in-kernel (tile-sized work)
+        ah, al = _split_hi_lo(a)
+        bh, bl = _split_hi_lo(b)
+        dims = (((0,), (0,)), ((), ()))       # aᵀ @ b: contract batch dim
+        dw_ref[:] += ((_dot_default(ah, bh, dims)
+                       + _dot_default(ah, bl, dims))
+                      + _dot_default(al, bh, dims))
+    else:
+        dw_ref[:] += jnp.dot(a.T, b, preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(b, axis=0, keepdims=True, dtype=jnp.float32)
 
 
@@ -300,7 +377,8 @@ def grad_accum(a, b, block_b: int = 0):
     m = b.shape[1]
     with mosaic_precision_scope():
         dw, db = pl.pallas_call(
-            _grad_accum_kernel,
+            functools.partial(_grad_accum_kernel,
+                              passes=_ambient_passes(a.dtype)),
             grid=(B // block_b,),
             in_specs=[_tile(block_b, n), _tile(block_b, m)],
             out_specs=[_whole((n, m)), _whole((1, m))],

@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
     _interpret,
+    _split_hi_lo,
     ambient_precision_tier,
     mosaic_precision_scope,
 )
@@ -122,17 +123,6 @@ def _dot(a, bmat):
     return jax.lax.dot_general(
         a, bmat, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-
-
-def _split_hi_lo(v):
-    """f32 → (bf16 hi, bf16 lo) with v ≈ hi + lo.  The hi part is rounded
-    via bit arithmetic, not dtype casts: with --xla_allow_excess_precision
-    the compiler folds a bf16→f32 round-trip into identity, which would
-    silently zero the lo term and degrade the 3-pass dot to single-pass."""
-    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(
-        (u + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000), jnp.float32)
-    return hi.astype(jnp.bfloat16), (v - hi).astype(jnp.bfloat16)
 
 
 def _toeplitz_kernel(x_ref, w_ref, b_ref, o_ref, *, kb, t, shift, act,
