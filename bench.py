@@ -18,8 +18,8 @@ Flags:
     --chain N        optimizer steps per dispatch (default 100)
     --batch N        batch size (default 4096)
     --precision P    highest | high | float32 | bfloat16 (default bfloat16)
-    --backend B      best (default: fastest measured config = xla) |
-                     xla | pallas
+    --backend B      best (default: fastest measured config per tier —
+                     xla, except pallas at precision=highest) | xla | pallas
     --no-torch       skip the torch baseline (vs_baseline falls back to a
                      cached measurement if present)
     --no-parity      skip the on-device pallas-vs-xla loss attestation
@@ -287,7 +287,8 @@ def main() -> None:
     ap.add_argument("--precision", type=str, default="bfloat16")
     ap.add_argument("--backend", type=str, default="best",
                     help="best (default; resolves to the fastest measured "
-                         "steady-state config: xla) | xla | pallas")
+                         "config per tier: xla, except pallas at "
+                         "precision=highest) | xla | pallas")
     ap.add_argument("--no-torch", action="store_true")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the on-device pallas-vs-xla attestation")
@@ -309,7 +310,13 @@ def main() -> None:
     # "best": measured steady-state winner at the default config — XLA
     # (chain-amortized 4.5M vs Pallas 4.4M frames/s; docs/PERF.md).  The
     # round-1 "+10% Pallas" was chain=10 dispatch noise, retracted there.
-    backend = "xla" if args.backend == "best" else args.backend
+    # Exception: at fp32 "highest" the fused Pallas kernels run at the
+    # 6-pass roofline, +11% over XLA (0.95M vs 0.86M) — best follows the
+    # measured winner per tier.
+    if args.backend == "best":
+        backend = "pallas" if args.precision == "highest" else "xla"
+    else:
+        backend = args.backend
 
     if args.metric == "synth":
         rtf = bench_synth(args.batch, args.steps, args.precision,
