@@ -171,7 +171,9 @@ class TPUConfig:
     feed_dtype: str = "float32"
     # Log parameter histograms every N steps (reference logged every batch in
     # the iterable trainer, train_iterable.py:216-217 — quirk #10).
-    histogram_interval: int = 0         # 0 = per-epoch / per-checkpoint only
+    # 0 = checkpoint-cadence only (per-epoch pulls every parameter through
+    # the host link and re-serializes the device-resident fast path)
+    histogram_interval: int = 0
     # PRNG seed for init + reparameterization.
     seed: int = 0
     # Deterministic inference (z = mu, no sampling) — quirk #13 extension.

@@ -25,6 +25,7 @@ divergence documented in DIVERGENCES.md).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Tuple
 
 import jax
@@ -83,10 +84,11 @@ def build_resident_epoch(
     n_samples: int,
     layout: str = "frames",
 ) -> Tuple[Callable, int]:
-    """Returns ``(run_epoch, n_batches)`` where
-    ``run_epoch(state, data, epoch) -> (state', losses[n_batches])`` is one
-    compiled call covering the full epoch.  ``data`` is the array from
-    :func:`put_resident` in the matching layout."""
+    """Returns ``(run_epochs, n_batches)`` where
+    ``run_epochs(state, data, epoch0, k=1) -> (state', losses[k, n_batches])``
+    is one compiled call covering ``k`` consecutive full epochs (``k``
+    static).  ``data`` is the array from :func:`put_resident` in the
+    matching layout."""
     seg = model.segment_length
     hop = cfg.audio.hop_length
     batch = cfg.training.batch_size
@@ -109,37 +111,48 @@ def build_resident_epoch(
                 return jax.lax.dynamic_slice(data, (s * hop,), (seg,))
             return jax.vmap(one)(starts)              # 1024-sample runs
 
-    def run_epoch(state: TrainState, data: jax.Array, epoch):
-        with jax.default_matmul_precision(prec):
-            perm_key = jax.random.fold_in(
-                jax.random.fold_in(state.rng, 0x5EED), epoch
+    def _one_epoch(state: TrainState, data: jax.Array, epoch):
+        perm_key = jax.random.fold_in(
+            jax.random.fold_in(state.rng, 0x5EED), epoch
+        )
+        perm = jax.random.permutation(perm_key, n_frames)[
+            : n_batches * batch
+        ].reshape(n_batches, batch)
+
+        def body(state, starts):
+            xb = assemble(data, starts)
+            key = jax.random.fold_in(state.rng, state.step)
+            (loss, (mse, kld)), grads = grad_fn(state.params, key, xb)
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads
             )
-            perm = jax.random.permutation(perm_key, n_frames)[
-                : n_batches * batch
-            ].reshape(n_batches, batch)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_state = TrainState(
+                params=optax.apply_updates(state.params, updates),
+                opt_state=opt_state,
+                rng=state.rng,
+                step=state.step + 1,
+            )
+            return new_state, loss
 
-            def body(state, starts):
-                xb = assemble(data, starts)
-                key = jax.random.fold_in(state.rng, state.step)
-                (loss, (mse, kld)), grads = grad_fn(state.params, key, xb)
-                grads = jax.tree_util.tree_map(
-                    lambda g: g.astype(jnp.float32), grads
-                )
-                updates, opt_state = optimizer.update(
-                    grads, state.opt_state, state.params
-                )
-                new_state = TrainState(
-                    params=optax.apply_updates(state.params, updates),
-                    opt_state=opt_state,
-                    rng=state.rng,
-                    step=state.step + 1,
-                )
-                return new_state, loss
+        return jax.lax.scan(body, state, perm)
 
-            state, losses = jax.lax.scan(body, state, perm)
-            return state, losses
+    # k epochs per dispatch (k static): a small-corpus epoch computes in
+    # ~15 ms, below one host-link round trip, so per-epoch dispatches are
+    # latency-bound — grouping scans the epochs on-device and returns the
+    # (k, n_batches) loss matrix in one call
+    @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+    def run_epochs(state: TrainState, data: jax.Array, epoch0, k: int = 1):
+        with jax.default_matmul_precision(prec):
+            def eb(s, e):
+                return _one_epoch(s, data, e)
 
-    return jax.jit(run_epoch, donate_argnums=(0,)), n_batches
+            return jax.lax.scan(eb, state,
+                                jnp.asarray(epoch0) + jnp.arange(k))
+
+    return run_epochs, n_batches
 
 
 def pad_frames_for_mesh(frames: np.ndarray, n_shards: int) -> np.ndarray:
@@ -198,8 +211,10 @@ def build_resident_epoch_sharded(
     (the locality-restricted shuffle sharded data loaders use).  Frames
     must be padded to the shard count first (:func:`pad_frames_for_mesh`).
 
-    Returns ``(run_epoch, n_batches)``;
-    ``run_epoch(state, sharded_frames, epoch) -> (state', losses)``.
+    Returns ``(run_epochs, n_batches)``;
+    ``run_epochs(state, sharded_frames, epoch0, k=1) ->
+    (state', losses[k, n_batches])`` with ``k`` static consecutive epochs
+    per compiled call.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -275,11 +290,16 @@ def build_resident_epoch_sharded(
         check_vma=False,
     )
 
-    def run_epoch(state, sharded_frames, epoch):
+    @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+    def run_epochs(state, sharded_frames, epoch0, k: int = 1):
         with jax.default_matmul_precision(prec):
-            return mapped(state, sharded_frames, epoch)
+            def eb(s, e):
+                return mapped(s, sharded_frames, e)
 
-    return jax.jit(run_epoch, donate_argnums=(0,)), n_batches
+            return jax.lax.scan(eb, state,
+                                jnp.asarray(epoch0) + jnp.arange(k))
+
+    return run_epochs, n_batches
 
 
 def put_frames_sharded(frames: np.ndarray, cfg: Config, mesh) -> "jax.Array":

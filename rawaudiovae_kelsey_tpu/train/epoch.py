@@ -245,7 +245,9 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                   corpus: np.ndarray, n_samples: int,
                   dataset_len: int, layout: str = "frames") -> L.TrainContext:
     """Device-resident epoch loop: one jitted call per epoch
-    (parallel/resident.py); checkpoints/TB/reconstruction between epochs."""
+    (parallel/resident.py), dispatches queued back-to-back with loss
+    drains deferred to checkpoint/histogram/interrupt boundaries;
+    checkpoints/TB/reconstruction between epochs."""
     from rawaudiovae_kelsey_tpu.parallel import resident as R
     from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
 
@@ -261,7 +263,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         n_shards = ctx.mesh.shape["data"]
         frames = R.pad_frames_for_mesh(frames, n_shards)
         dev_corpus = R.put_frames_sharded(frames, cfg, ctx.mesh)
-        run_epoch, n_batches = R.build_resident_epoch_sharded(
+        run_epochs, n_batches = R.build_resident_epoch_sharded(
             ctx.model, cfg, optimizer, len(frames), ctx.mesh
         )
         del frames
@@ -270,7 +272,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
               f"({dev_corpus.nbytes / 1e6:,.0f} MB total), "
               f"{n_batches} batches/epoch in one compiled call")
     else:
-        run_epoch, n_batches = R.build_resident_epoch(
+        run_epochs, n_batches = R.build_resident_epoch(
             ctx.model, cfg, optimizer, n_samples, layout=layout
         )
         dev_corpus = R.put_resident(corpus, cfg, layout)
@@ -293,50 +295,113 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     profile_epoch = (cfg.tpu.profile_start // max(n_batches, 1)
                      if cfg.tpu.profile_steps > 0 else -1)
 
-    for epoch in range(start_epoch, epochs):
-        if verbose:
-            print(f"Epoch {epoch}/{epochs - 1}")
-            print("-" * 10)
-        profiling = epoch == profile_epoch
-        if profiling:
-            jax.profiler.start_trace(str(ctx.workspace.log_dir / "profile"))
-        ctx.timer.start()
-        ctx.state, dev_losses = run_epoch(ctx.state, dev_corpus, epoch)
-        losses = np.asarray(jax.device_get(dev_losses), np.float64)
-        epoch_s = ctx.timer.stop()
-        if profiling:
-            jax.profiler.stop_trace()
+    # A small-corpus epoch computes in ~15 ms — less than one host-link
+    # round trip — so anything per-epoch (a dispatch, a loss fetch, a
+    # histogram pull) makes the loop latency-bound (measured 1.4 M frames/s
+    # e2e vs 4.5 M device rate; worse on a degraded link).  Epochs
+    # therefore run in GROUPS: one compiled call scans k consecutive
+    # epochs on-device (run_epochs(..., k)), groups end at checkpoint /
+    # histogram / profile boundaries (cap 64), and the (k, n_batches) loss
+    # matrices drain in bursts — console lines and TB scalars are
+    # identical, printed in epoch order, with the frames/s figure averaged
+    # over the drained window.  histogram_interval = 0 logs histograms at
+    # the checkpoint cadence here (each pull syncs + ships every parameter
+    # through the host link).
+    pending = []  # (first epoch, (k, n_batches) device losses)
 
-        train_loss = float(losses.sum())
-        for i, l in enumerate(losses):
-            gstep = epoch * n_batches + i
-            ctx.writer.add_scalar("Loss/Batch", float(l), gstep)
-            ctx.writer.add_scalar("Learning Rate", lr, gstep)
-        avg = train_loss / max(dataset_len, 1)
-        print(
-            f"====> Epoch: {epoch} - Total loss: {train_loss} - "
-            f"Average loss: {avg:.9f} "
-            f"({n_batches * batch_size / max(epoch_s, 1e-9):,.0f} frames/s)"
-        )
-        ctx.writer.add_scalar("Loss/train_total", train_loss, epoch)
-        ctx.writer.add_scalar("Loss/train_average", avg, epoch)
-        if epoch % max(1, cfg.tpu.histogram_interval or 1) == 0:
+    def drain():
+        nonlocal train_loss
+        if not pending:
+            return
+        window_s = ctx.timer.stop()
+        n_done = sum(dl.shape[0] for _, dl in pending)
+        rate = n_done * n_batches * batch_size / max(window_s, 1e-9)
+        for ep0, dev_losses in pending:
+            for j, row in enumerate(
+                np.asarray(jax.device_get(dev_losses), np.float64)
+            ):
+                ep = ep0 + j
+                if verbose:
+                    print(f"Epoch {ep}/{epochs - 1}")
+                    print("-" * 10)
+                train_loss = float(row.sum())
+                for i, l in enumerate(row):
+                    gstep = ep * n_batches + i
+                    ctx.writer.add_scalar("Loss/Batch", float(l), gstep)
+                    ctx.writer.add_scalar("Learning Rate", lr, gstep)
+                avg = train_loss / max(dataset_len, 1)
+                print(
+                    f"====> Epoch: {ep} - Total loss: {train_loss} - "
+                    f"Average loss: {avg:.9f} ({rate:,.0f} frames/s)"
+                )
+                ctx.writer.add_scalar("Loss/train_total", train_loss, ep)
+                ctx.writer.add_scalar("Loss/train_average", avg, ep)
+        pending.clear()
+        ctx.timer.start()
+
+    hist_every = cfg.tpu.histogram_interval
+
+    def group_end(e0: int) -> int:
+        """Last epoch (inclusive) of the group starting at e0.  A group
+        runs through the first epoch whose post-epoch action fires (a
+        checkpoint or histogram boundary), stops just short of the profile
+        epoch so its trace covers exactly one dispatch, and is capped at
+        64 epochs."""
+        cap = min(epochs - 1, e0 + 63)
+        last = e0
+        while last < cap:
+            if (interval and last % interval == 0 and last != 0) \
+                    or (hist_every and last % hist_every == 0) \
+                    or last == profile_epoch or last + 1 == profile_epoch:
+                break
+            last += 1
+        return last
+
+    ctx.timer.start()
+    epoch = start_epoch
+    while epoch < epochs:
+        last = group_end(epoch)
+        k = last - epoch + 1
+        profiling = profile_epoch == epoch and k == 1
+        if profiling:
+            drain()  # bound the trace to this epoch's dispatch
+            jax.profiler.start_trace(str(ctx.workspace.log_dir / "profile"))
+        ctx.state, dev_losses = run_epochs(ctx.state, dev_corpus, epoch, k=k)
+        pending.append((epoch, dev_losses))
+        if profiling:
+            drain()
+            jax.profiler.stop_trace()
+        epoch = last  # the boundary checks below refer to the LAST epoch run
+
+        if hist_every and epoch % hist_every == 0:
+            drain()
             L.log_param_histograms(ctx, epoch)
+            ctx.timer.start()  # exclude the histogram pull from the window
 
         if stop:
+            drain()
             print(f"Interrupted after epoch {epoch}; checkpointing.")
             L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
             return ctx
         if interval and epoch % interval == 0 and epoch != 0:
+            drain()
             print(f"Checkpoint - Epoch {epoch}")
+            if not hist_every:
+                L.log_param_histograms(ctx, epoch)
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, epoch)
             L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
             L.maybe_save_best(ctx, train_loss, epoch,
                               cfg.training.save_best_model_after)
+            ctx.timer.start()  # exclude checkpoint I/O from the next window
+        epoch += 1
+
+    drain()
 
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")
+    if not hist_every and epochs > start_epoch:
+        L.log_param_histograms(ctx, final_epoch)
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, epochs)
     L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)

@@ -396,18 +396,25 @@ def test_resident_epoch_sharded_over_mesh():
     dev_frames = put_frames_sharded(frames, cfg, mesh)
     assert dev_frames.sharding.spec[0] is not None  # really sharded
 
-    run_epoch, n_batches = build_resident_epoch_sharded(
+    run_epochs, n_batches = build_resident_epoch_sharded(
         model, cfg, opt, len(frames), mesh
     )
     assert n_batches == len(frames) // 64
-    epoch_means = []
+    epoch_means, per_epoch = [], []
     for epoch in range(4):
-        state, losses = run_epoch(state, dev_frames, epoch)
+        state, losses = run_epochs(state, dev_frames, epoch)
         losses = np.asarray(jax.device_get(losses))
-        assert losses.shape == (n_batches,)
+        assert losses.shape == (1, n_batches)
+        per_epoch.append(losses[0])
         epoch_means.append(float(losses.mean()))
     assert epoch_means[-1] < epoch_means[0]
     assert np.isfinite(epoch_means).all()
+    # a k-grouped dispatch replays the same epochs bit-identically
+    _, _, state_g = make_state(cfg, seed=7)
+    state_g, losses_g = run_epochs(state_g, dev_frames, 0, k=4)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(losses_g)), np.stack(per_epoch)
+    )
     # params replicated bit-identically across all 8 devices
     w = state.params["fc1"]["w"]
     shards = [np.asarray(s.data) for s in w.addressable_shards]
@@ -484,11 +491,11 @@ def test_resident_sharded_local_shuffle_mode():
                                       cfg.audio.hop_length)), 8
     )
     dev_frames = put_frames_sharded(frames, cfg, mesh)
-    run_epoch, n_batches = build_resident_epoch_sharded(
+    run_epochs, n_batches = build_resident_epoch_sharded(
         model, cfg, opt, len(frames), mesh
     )
     means = []
     for epoch in range(3):
-        state, losses = run_epoch(state, dev_frames, epoch)
+        state, losses = run_epochs(state, dev_frames, epoch)
         means.append(float(np.asarray(jax.device_get(losses)).mean()))
     assert means[-1] < means[0] and np.isfinite(means).all()
