@@ -373,10 +373,15 @@ def main() -> None:
                 if args.precision == "bfloat16" else None),
     }
     if not args.no_parity:
-        result["parity"] = {
-            "pallas_vs_xla_loss_delta": parity_check(args.batch,
-                                                     args.precision),
-        }
+        # never lose the measured headline to an attestation failure —
+        # report the error in-band instead
+        try:
+            result["parity"] = {
+                "pallas_vs_xla_loss_delta": parity_check(args.batch,
+                                                         args.precision),
+            }
+        except Exception as e:  # noqa: BLE001
+            result["parity"] = {"error": str(e)[:200]}
     print(json.dumps(result))
 
 

@@ -21,6 +21,7 @@ from rawaudiovae_kelsey_tpu.ops.pallas_linear import (  # noqa: F401
     deep_decode_pallas,
     deep_encode_pallas,
     linear_fwd,
+    linear_ksplit_fwd,
     pallas_linear,
 )
 from rawaudiovae_kelsey_tpu.ops.pallas_conv import (  # noqa: F401
@@ -28,6 +29,9 @@ from rawaudiovae_kelsey_tpu.ops.pallas_conv import (  # noqa: F401
     conv1d_transpose_pallas,
     conv_decode_pallas,
     conv_encode_pallas,
+)
+from rawaudiovae_kelsey_tpu.ops.pallas_toeplitz import (  # noqa: F401
+    toeplitz_matmul,
 )
 from rawaudiovae_kelsey_tpu.ops.pallas_loss import (  # noqa: F401
     pallas_loss,
