@@ -310,11 +310,16 @@ def main() -> None:
     # "best": measured steady-state winner at the default config — XLA
     # (chain-amortized 4.5M vs Pallas 4.4M frames/s; docs/PERF.md).  The
     # round-1 "+10% Pallas" was chain=10 dispatch noise, retracted there.
-    # Exception: at fp32 "highest" the fused Pallas kernels run at the
-    # 6-pass roofline, +11% over XLA (0.95M vs 0.86M) — best follows the
-    # measured winner per tier.
+    # Exceptions: at fp32 "highest" the fused Pallas kernels run at the
+    # 6-pass roofline, +11% over XLA (0.95M vs 0.86M), and the synth
+    # (decode-only) metric's documented figures come from the fused Pallas
+    # decode (the int8 path exists only there) — best follows the measured
+    # winner per tier/metric.
     if args.backend == "best":
-        backend = "pallas" if args.precision == "highest" else "xla"
+        if args.metric == "synth" or args.precision == "highest":
+            backend = "pallas"
+        else:
+            backend = "xla"
     else:
         backend = args.backend
 

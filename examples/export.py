@@ -18,7 +18,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -47,7 +51,11 @@ def main() -> None:
 
         params = load_torch_checkpoint(args.torch_ckpt)
     else:
-        params = load_params(args.run / "model" / "best_model.npz", template)
+        best = args.run / "model" / "best_model.npz"
+        # best_model only appears after save_best_model_after; fall back
+        model_path = best if best.exists() \
+            else args.run / "model" / "last_model.npz"
+        params = load_params(model_path, template)
 
     paths = []
     if model.name == "dense":
@@ -60,6 +68,11 @@ def main() -> None:
         paths.append(export_onnx(model, params,
                                  args.out / "rawaudiovae_det.onnx",
                                  batch="batch", deterministic=True))
+    elif args.onnx:
+        raise SystemExit(
+            f"--onnx covers the dense reference family only (this run is "
+            f"{model.name!r}); drop --onnx for StableHLO + npz export"
+        )
     if not args.onnx:
         paths.append(export_stablehlo(
             model, params, args.out / "rawaudiovae.stablehlo",

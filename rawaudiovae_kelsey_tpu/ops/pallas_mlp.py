@@ -39,13 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_B = 128          # fp32 tiles; bf16 halves VMEM so 256 fits
 
 
-def _default_block(dtype, passes: int = 1) -> int:
+def _default_block(dtype) -> int:
     # batch-tile rows sized to the ~16 MB VMEM scoped limit: 16-bit data
     # fits larger tiles (512 rows measured +2% full-step throughput over 256
     # at bf16 batch 4096 — fewer grid steps amortize the weight-resident
     # panels better).  The 3-pass tier's bf16 weight stacks would fit
     # 256-row fp32 tiles, but 256 measured no faster than 128 (1.26 vs
-    # 1.28 M frames/s) — keep the common tile.
+    # 1.28 M frames/s) — one common tile for all tiers.
     return 512 if jnp.dtype(dtype).itemsize <= 2 else DEFAULT_BLOCK_B
 
 
@@ -168,7 +168,7 @@ def _enc_fwd_kernel(x_ref, w1_ref, b1_ref, w21_ref, b21_ref, w22_ref, b22_ref,
 def encoder_fwd(w1, b1, w21, b21, w22, b22, x, block_b: int = 0):
     """Fused relu(x@W1+b1) → (mu, logvar, h)."""
     passes = _ambient_passes(x.dtype)
-    block_b = block_b or _default_block(x.dtype, passes)
+    block_b = block_b or _default_block(x.dtype)
     x, n = _pad_batch(x, block_b)
     B, seg = x.shape
     units = w1.shape[1]
@@ -215,7 +215,7 @@ def _dec_fwd_kernel(z_ref, w3_ref, b3_ref, w4_ref, b4_ref, y_ref, h3_ref,
 def decoder_fwd(w3, b3, w4, b4, z, block_b: int = 0):
     """Fused tanh(relu(z@W3+b3)@W4+b4) → (y, h3)."""
     passes = _ambient_passes(z.dtype)
-    block_b = block_b or _default_block(z.dtype, passes)
+    block_b = block_b or _default_block(z.dtype)
     z, n = _pad_batch(z, block_b)
     B, latent = z.shape
     units = w3.shape[1]
@@ -253,7 +253,7 @@ def _matmul_nt_kernel(a_ref, w_ref, out_ref, *, passes=1):
 def matmul_nt(a, w, block_b: int = 0):
     """(B, n) @ (m, n)ᵀ → (B, m); weights VMEM-resident, batch tiled."""
     passes = _ambient_passes(a.dtype)
-    block_b = block_b or _default_block(a.dtype, passes)
+    block_b = block_b or _default_block(a.dtype)
     a, nrows = _pad_batch(a, block_b)
     B, n = a.shape
     m = w.shape[0]
@@ -283,7 +283,7 @@ def _matmul_nt_mask_kernel(a_ref, w_ref, gate_ref, out_ref, *, passes=1):
 def matmul_nt_mask(a, w, gate, block_b: int = 0):
     """ReLU-backward step: ``(a @ wᵀ) * (gate > 0)``."""
     passes = _ambient_passes(a.dtype)
-    block_b = block_b or _default_block(a.dtype, passes)
+    block_b = block_b or _default_block(a.dtype)
     nrows = a.shape[0]
     a, _ = _pad_batch(a, block_b)
     gate, _ = _pad_batch(gate, block_b)
@@ -317,7 +317,7 @@ def matmul_nt2_mask(a1, w1, a2, w2, gate, block_b: int = 0):
     """Two-head ReLU backward: ``(a1@w1ᵀ + a2@w2ᵀ) * (gate > 0)`` — the
     encoder's dh from (dmu, dlogvar)."""
     passes = _ambient_passes(a1.dtype)
-    block_b = block_b or _default_block(a1.dtype, passes)
+    block_b = block_b or _default_block(a1.dtype)
     nrows = a1.shape[0]
     a1, _ = _pad_batch(a1, block_b)
     a2, _ = _pad_batch(a2, block_b)

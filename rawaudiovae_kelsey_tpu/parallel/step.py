@@ -42,21 +42,15 @@ def _matmul_precision(name: str) -> str:
             "bfloat16": "default"}[name]
 
 
-def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
-    """(params, key, batch) → (loss, (mse, kld)); all reductions fp32."""
+def _make_loss_fn(model: ModelDef, cfg: Config, weighted: bool) -> Callable:
+    """Shared builder for the plain and row-weighted loss functions — the
+    forward flow (bf16 casting, encode, reparameterize, decode) is
+    identical; only the reduction differs."""
     seg = model.segment_length
     kl_beta = cfg.vae.kl_beta
     reduction = cfg.training.loss_reduction.split()[0]
     bf16 = cfg.tpu.precision == "bfloat16"
     tpu_prng = cfg.tpu.rng == "tpu_prng"
-
-    # Loss stays on the XLA reduction even under backend=pallas: wiring
-    # ops.pallas_loss_components here was measured at 931k frames/s vs
-    # 1.34M (the custom_vjp boundary blocks XLA from fusing the loss
-    # backward into the decode backward chain) — see docs/PERF.md.
-    def compute_loss(recon, x, mu, logvar):
-        return loss_components(recon, x, mu, logvar, kl_beta, seg,
-                               reduction)
 
     def sample(key, mu, logvar):
         if tpu_prng:
@@ -67,7 +61,7 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
             return pallas_reparameterize(seed, mu, logvar)
         return model.reparameterize(key, mu, logvar)
 
-    def loss_fn(params, key, batch):
+    def forward(params, key, batch):
         x = batch.reshape(-1, seg)
         if bf16:
             cparams = jax.tree_util.tree_map(
@@ -83,12 +77,43 @@ def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
         if bf16:
             z = z.astype(jnp.bfloat16)
         recon = model.decode(cparams, z).astype(jnp.float32)
-        loss, mse, kld = compute_loss(recon, x, mu, logvar)
-        return loss, (mse, kld)
+        return x, recon, mu, logvar
+
+    if not weighted:
+        # Loss stays on the XLA reduction even under backend=pallas: wiring
+        # ops.pallas_loss_components here was measured at 931k frames/s vs
+        # 1.34M (the custom_vjp boundary blocks XLA from fusing the loss
+        # backward into the decode backward chain) — see docs/PERF.md.
+        def loss_fn(params, key, batch):
+            x, recon, mu, logvar = forward(params, key, batch)
+            loss, mse, kld = loss_components(recon, x, mu, logvar, kl_beta,
+                                             seg, reduction)
+            return loss, (mse, kld)
+    else:
+        def loss_fn(params, key, batch, wv):
+            x, recon, mu, logvar = forward(params, key, batch)
+            wv = wv.astype(jnp.float32)
+            se = jnp.sum(jnp.square(recon - x), axis=1)          # (B,)
+            kl = -0.5 * jnp.sum(
+                1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=1
+            )
+            n_real = jnp.sum(wv)
+            if reduction == "mean":
+                mse = jnp.dot(se, wv) / (n_real * seg)
+                kld = jnp.dot(kl, wv) / (n_real * mu.shape[-1])
+            else:
+                mse = jnp.dot(se, wv)
+                kld = jnp.dot(kl, wv)
+            return mse + kl_beta * kld, (mse, kld)
 
     if cfg.tpu.remat:
         loss_fn = jax.checkpoint(loss_fn)
     return loss_fn
+
+
+def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
+    """(params, key, batch) → (loss, (mse, kld)); all reductions fp32."""
+    return _make_loss_fn(model, cfg, weighted=False)
 
 
 def make_weighted_loss_fn(model: ModelDef, cfg: Config) -> Callable:
@@ -100,53 +125,7 @@ def make_weighted_loss_fn(model: ModelDef, cfg: Config) -> Callable:
     denominators count only real rows — so the result is bit-comparable to
     the unpadded computation.  Mirrors the reference loss semantics
     (``rawvae/model.py:38-46``) exactly on the surviving rows."""
-    seg = model.segment_length
-    kl_beta = cfg.vae.kl_beta
-    reduction = cfg.training.loss_reduction.split()[0]
-    bf16 = cfg.tpu.precision == "bfloat16"
-    tpu_prng = cfg.tpu.rng == "tpu_prng"
-
-    def sample(key, mu, logvar):
-        if tpu_prng:
-            from rawaudiovae_kelsey_tpu.ops.rng import pallas_reparameterize
-
-            seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
-            return pallas_reparameterize(seed, mu, logvar)
-        return model.reparameterize(key, mu, logvar)
-
-    def loss_fn(params, key, batch, wv):
-        x = batch.reshape(-1, seg)
-        if bf16:
-            cparams = jax.tree_util.tree_map(
-                lambda p: p.astype(jnp.bfloat16), params
-            )
-            xin = x.astype(jnp.bfloat16)
-        else:
-            cparams, xin = params, x
-        mu, logvar = model.encode(cparams, xin)
-        mu = mu.astype(jnp.float32)
-        logvar = logvar.astype(jnp.float32)
-        z = sample(key, mu, logvar)
-        if bf16:
-            z = z.astype(jnp.bfloat16)
-        recon = model.decode(cparams, z).astype(jnp.float32)
-        wv = wv.astype(jnp.float32)
-        se = jnp.sum(jnp.square(recon - x), axis=1)          # (B,)
-        kl = -0.5 * jnp.sum(
-            1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=1
-        )
-        n_real = jnp.sum(wv)
-        if reduction == "mean":
-            mse = jnp.dot(se, wv) / (n_real * seg)
-            kld = jnp.dot(kl, wv) / (n_real * mu.shape[-1])
-        else:
-            mse = jnp.dot(se, wv)
-            kld = jnp.dot(kl, wv)
-        return mse + kl_beta * kld, (mse, kld)
-
-    if cfg.tpu.remat:
-        loss_fn = jax.checkpoint(loss_fn)
-    return loss_fn
+    return _make_loss_fn(model, cfg, weighted=True)
 
 
 def build_train_step(

@@ -371,6 +371,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         if profiling:
             drain()
             jax.profiler.stop_trace()
+        elif len(pending) >= 4:
+            # backpressure: waiting on the OLDEST group keeps the pipeline
+            # full while bounding in-flight work (and interrupt latency)
+            drain()
         epoch = last  # the boundary checks below refer to the LAST epoch run
 
         if hist_every and epoch % hist_every == 0:
@@ -400,7 +404,9 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")
-    if not hist_every and epochs > start_epoch:
+    if not hist_every and epochs > start_epoch and not (
+            interval and final_epoch % interval == 0 and final_epoch != 0):
+        # (guard: the checkpoint branch already logged this epoch)
         L.log_param_histograms(ctx, final_epoch)
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, epochs)

@@ -458,6 +458,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         ctx.state, losses = run_chunk(ctx.state, idx_dev, dev_frames)
         pending.append((batch_id, losses))  # no sync in the hot loop
         batch_id += k
+        if len(pending) >= 8:
+            # backpressure: waiting on the OLDEST chunk keeps the pipeline
+            # full while bounding in-flight work (and interrupt latency)
+            drain()
 
         if verbose:
             print(f"Batch {batch_id}/{total_num_batches}")
