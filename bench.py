@@ -154,16 +154,29 @@ def bench_synth(batch_size: int, steps: int, precision: str,
     )
     if precision == "bfloat16":
         z = z.astype(jnp.bfloat16)
-    out = decode(z)
-    float(jax.device_get(out[0, 0]))  # force compile (axon async)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = decode(z)
-    float(jax.device_get(out[0, 0]))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    samples_per_sec = batch_size * SEG * steps / dt
+    # chain the decodes inside one dispatch (same methodology as the train
+    # metric): per-dispatch tunnel latency otherwise dominates and the
+    # figure measures the link, not the chip.  The 1e-30 feedback keeps
+    # the loop un-hoistable; its cost is negligible next to the GEMMs.
+    chain = max(steps, 50)
+
+    @jax.jit
+    def decode_chain(z0):
+        def body(c, _):
+            y = decode(c)
+            return c + (y[:, :LATENT] * 1e-30).astype(c.dtype), ()
+        c, _ = jax.lax.scan(body, z0, None, length=chain)
+        return c
+
+    float(jax.device_get(decode_chain(z)[0, 0]))  # compile (axon async)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = decode_chain(z)
+        float(jax.device_get(out[0, 0]))
+        best = min(best, time.perf_counter() - t0)
+    samples_per_sec = batch_size * SEG * chain / best
     return samples_per_sec / 44100.0
 
 

@@ -156,6 +156,61 @@ def test_cli_export_onnx(model_and_params, tmp_path):
     m = OnnxModel.load(onnx_path)
     assert m.outputs == ["recon", "mu", "logvar"]
 
+    # the direct script form must work too (it bootstraps sys.path), and
+    # fall back to last_model.npz when best doesn't exist
+    (run / "model" / "best_model.npz").rename(
+        run / "model" / "last_model.npz")
+    proc = subprocess.run(
+        [sys.executable, str(repo / "examples" / "export.py"),
+         "--run", str(run), "--onnx", "--out", str(tmp_path / "out2")],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env=_cpu_env(),
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert (tmp_path / "out2" / "rawaudiovae.onnx").exists()
+
+
+def test_cli_export_onnx_rejects_non_dense(tmp_path):
+    """--onnx on a non-dense run must exit nonzero with a clear message,
+    not silently write nothing."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    from rawaudiovae_kelsey_tpu.config import Config
+    from rawaudiovae_kelsey_tpu.models import build_model
+    from rawaudiovae_kelsey_tpu.train import save_params
+
+    run = tmp_path / "run-000"
+    (run / "model").mkdir(parents=True)
+    (run / "config.ini").write_text(
+        "[audio]\nsegment_length = 256\nhop_length = 64\n"
+        "sampling_rate = 44100\n"
+        "[VAE]\narch = conv1d\nconv_channels = 4,8\nconv_kernel = 5\n"
+        "conv_stride = 4\nlatent_dim = 16\nkl_beta = 1e-4\n"
+        "[dataset]\ndatapath = .\n[training]\nbatch_size = 8\n"
+    )
+    cfg = Config()
+    cfg.audio.segment_length = 256
+    cfg.vae.arch = "conv1d"
+    cfg.vae.conv_channels = "4,8"
+    cfg.vae.conv_kernel = 5
+    cfg.vae.conv_stride = 4
+    cfg.vae.latent_dim = 16
+    model = build_model(cfg)
+    save_params(run / "model" / "last_model.npz",
+                model.init(jax.random.PRNGKey(0)))
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(repo / "examples" / "export.py"),
+         "--run", str(run), "--onnx", "--out", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd=repo, env=_cpu_env(),
+    )
+    assert proc.returncode != 0
+    assert "dense reference family" in (proc.stderr + proc.stdout)
+
 
 def _cpu_env():
     import os
