@@ -114,10 +114,11 @@ def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
 
 
 def bench_synth(batch_size: int, steps: int, precision: str,
-                backend: str, quantize: bool = False) -> float:
+                backend: str, quantize: bool = False):
     """Real-time synthesis factor (BASELINE.json "metric"): how many seconds
     of 44.1 kHz audio the decode path (latent → waveform) produces per
-    wall-clock second, measured on device-resident latents."""
+    wall-clock second, measured on device-resident latents.  Returns
+    ``(factor, chain_used)``."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -159,6 +160,8 @@ def bench_synth(batch_size: int, steps: int, precision: str,
     # metric): per-dispatch tunnel latency otherwise dominates and the
     # figure measures the link, not the chip.  The 1e-30 feedback keeps
     # the loop un-hoistable; its cost is negligible next to the GEMMs.
+    # --steps below 50 is raised to keep the dispatch amortized; the JSON
+    # line reports the chain actually used.
     chain = max(steps, 50)
 
     @jax.jit
@@ -177,7 +180,7 @@ def bench_synth(batch_size: int, steps: int, precision: str,
         float(jax.device_get(out[0, 0]))
         best = min(best, time.perf_counter() - t0)
     samples_per_sec = batch_size * SEG * chain / best
-    return samples_per_sec / 44100.0
+    return samples_per_sec / 44100.0, chain
 
 
 def bench_torch_cpu(batch_size: int, steps: int = 3) -> float:
@@ -337,8 +340,9 @@ def main() -> None:
         backend = args.backend
 
     if args.metric == "synth":
-        rtf = bench_synth(args.batch, args.steps, args.precision,
-                          backend, quantize=args.quantize)
+        rtf, synth_chain = bench_synth(args.batch, args.steps,
+                                       args.precision, backend,
+                                       quantize=args.quantize)
         print(json.dumps({
             "metric": "realtime_synth_factor",
             "value": round(rtf, 1),
@@ -347,6 +351,7 @@ def main() -> None:
             "backend": backend,
             "precision": "int8" if args.quantize else args.precision,
             "batch": args.batch,
+            "chain": synth_chain,
         }))
         return
 

@@ -53,8 +53,11 @@ def main() -> None:
     else:
         best = args.run / "model" / "best_model.npz"
         # best_model only appears after save_best_model_after; fall back
-        model_path = best if best.exists() \
-            else args.run / "model" / "last_model.npz"
+        if best.exists():
+            model_path = best
+        else:
+            model_path = args.run / "model" / "last_model.npz"
+            print(f"{best.name} not found; exporting {model_path.name}")
         params = load_params(model_path, template)
 
     paths = []

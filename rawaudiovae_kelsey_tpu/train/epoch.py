@@ -313,13 +313,18 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         nonlocal train_loss
         if not pending:
             return
+        # fetch FIRST: device_get blocks until the queued epochs finish, so
+        # the timed window includes the device compute (the repo's timing
+        # rule — stopping the timer before the fetch would exclude all
+        # in-flight work and overstate frames/s)
+        fetched = [(ep0, np.asarray(jax.device_get(dl), np.float64))
+                   for ep0, dl in pending]
+        pending.clear()
         window_s = ctx.timer.stop()
-        n_done = sum(dl.shape[0] for _, dl in pending)
+        n_done = sum(arr.shape[0] for _, arr in fetched)
         rate = n_done * n_batches * batch_size / max(window_s, 1e-9)
-        for ep0, dev_losses in pending:
-            for j, row in enumerate(
-                np.asarray(jax.device_get(dev_losses), np.float64)
-            ):
+        for ep0, arr in fetched:
+            for j, row in enumerate(arr):
                 ep = ep0 + j
                 if verbose:
                     print(f"Epoch {ep}/{epochs - 1}")
@@ -336,7 +341,6 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 )
                 ctx.writer.add_scalar("Loss/train_total", train_loss, ep)
                 ctx.writer.add_scalar("Loss/train_average", avg, ep)
-        pending.clear()
         ctx.timer.start()
 
     hist_every = cfg.tpu.histogram_interval
@@ -372,9 +376,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             drain()
             jax.profiler.stop_trace()
         elif len(pending) >= 4:
-            # backpressure: waiting on the OLDEST group keeps the pipeline
-            # full while bounding in-flight work (and interrupt latency)
-            drain()
+            # backpressure: wait for the OLDEST group to finish (without
+            # draining — later groups stay in flight) so in-flight work and
+            # interrupt latency stay bounded while the pipeline keeps full
+            jax.block_until_ready(pending[0][1])
         epoch = last  # the boundary checks below refer to the LAST epoch run
 
         if hist_every and epoch % hist_every == 0:

@@ -436,6 +436,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             k = min(chunk, total_num_batches - bid)
             if interval:
                 k = min(k, interval - (bid % interval))
+            if hist_every:
+                # land on histogram boundaries too, else a 64-step chunk
+                # coarsens the configured cadence to chunk granularity
+                k = min(k, hist_every - (bid % hist_every))
             batches = list(itertools.islice(plan, k))
             if pad_rows:       # masked rows; index 0 is always in range
                 batches = [
@@ -459,9 +463,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         pending.append((batch_id, losses))  # no sync in the hot loop
         batch_id += k
         if len(pending) >= 8:
-            # backpressure: waiting on the OLDEST chunk keeps the pipeline
-            # full while bounding in-flight work (and interrupt latency)
-            drain()
+            # backpressure: wait for the OLDEST chunk to finish (without
+            # draining — later chunks stay in flight) so in-flight work and
+            # interrupt latency stay bounded while the pipeline keeps full
+            jax.block_until_ready(pending[0][1])
 
         if verbose:
             print(f"Batch {batch_id}/{total_num_batches}")

@@ -428,6 +428,40 @@ def test_resident_epoch_sharded_over_mesh():
         build_resident_epoch_sharded(model, cfg_bad, opt, len(frames), mesh)
 
 
+def test_resident_epoch_single_device_kgroup_replay():
+    """The non-sharded resident builder (the path taken when ctx.mesh is
+    None) must also replay k-grouped epochs bit-identically to per-epoch
+    dispatch — pins the epoch indexing (epoch0 + arange(k)) and the RNG
+    carry of the grouped scan."""
+    from rawaudiovae_kelsey_tpu.parallel.resident import (
+        build_resident_epoch,
+        put_resident,
+    )
+
+    cfg = small_cfg()
+    cfg.training.batch_size = 64
+    model, opt, state = make_state(cfg, seed=3)
+    rng = np.random.default_rng(3)
+    corpus = (0.4 * np.sin(np.arange(40_000) / 30.0)
+              + 0.05 * rng.standard_normal(40_000)).astype(np.float32)
+    run_epochs, n_batches = build_resident_epoch(
+        model, cfg, opt, len(corpus), layout="frames"
+    )
+    dev = put_resident(corpus, cfg, "frames")
+    per_epoch = []
+    s = state
+    for epoch in range(3):
+        s, losses = run_epochs(s, dev, epoch)
+        losses = np.asarray(jax.device_get(losses))
+        assert losses.shape == (1, n_batches)
+        per_epoch.append(losses[0])
+    _, _, s_g = make_state(cfg, seed=3)
+    s_g, losses_g = run_epochs(s_g, dev, 0, k=3)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(losses_g)), np.stack(per_epoch)
+    )
+
+
 def test_two_pass_shuffle_mixes_shards():
     """The global resident shuffle must land an equal slice of every origin
     shard on every chip, and preserve the global row multiset."""
