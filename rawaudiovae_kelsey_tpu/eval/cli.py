@@ -55,6 +55,10 @@ def main(argv=None) -> None:
 
     if args.params in ("best", "last"):
         path = args.run / "model" / f"{args.params}_model.npz"
+        if args.params == "best" and not path.exists():
+            # best_model only appears after save_best_model_after
+            path = args.run / "model" / "last_model.npz"
+            print(f"best_model.npz not found; evaluating {path.name}")
         params = load_params(path, template)
     elif str(args.params).endswith(".npz"):
         path = Path(args.params)
