@@ -18,7 +18,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -65,7 +69,12 @@ def main() -> None:
 
         params = load_torch_checkpoint(args.torch_ckpt)
     else:
-        params = load_params(args.run / "model" / "best_model.npz", template)
+        best = args.run / "model" / "best_model.npz"
+        if not best.exists():
+            # best_model only appears after save_best_model_after
+            best = args.run / "model" / "last_model.npz"
+            print(f"best_model.npz not found; using {best.name}")
+        params = load_params(best, template)
     sr = cfg.audio.sampling_rate
     args.out.mkdir(parents=True, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
