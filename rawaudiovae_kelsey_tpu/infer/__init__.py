@@ -26,6 +26,7 @@ from rawaudiovae_kelsey_tpu.infer.export import (  # noqa: F401
     make_forward_fn,
 )
 from rawaudiovae_kelsey_tpu.infer.onnx_model import (  # noqa: F401
+    OnnxDecodeError,
     OnnxModel,
     export_onnx,
 )

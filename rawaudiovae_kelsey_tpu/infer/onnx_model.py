@@ -243,6 +243,13 @@ def export_onnx(model, params, path: Union[str, Path],
 
 # ------------------------------------------------- decoder + numpy runtime --
 
+class OnnxDecodeError(ValueError):
+    """Raised for any structurally invalid ONNX byte stream — truncated
+    buffers, lengths past the end, bad wire types, non-UTF8 names, tensor
+    payloads that don't match their declared dims.  The single exception
+    surface the fuzz tests pin (tests/test_onnx.py)."""
+
+
 def _iter_fields(data: bytes):
     """Yield (field_number, wire_type, value) over one message's bytes."""
     pos = 0
@@ -254,28 +261,41 @@ def _iter_fields(data: bytes):
             value, pos = _read_varint(data, pos)
         elif wire == 2:
             size, pos = _read_varint(data, pos)
+            if size > n - pos:
+                raise OnnxDecodeError(
+                    f"length-delimited field of {size} bytes at offset "
+                    f"{pos} overruns the {n}-byte message"
+                )
             value = data[pos:pos + size]
             pos += size
         elif wire == 5:
+            if n - pos < 4:
+                raise OnnxDecodeError("truncated fixed32 field")
             value = struct.unpack_from("<f", data, pos)[0]
             pos += 4
         elif wire == 1:
+            if n - pos < 8:
+                raise OnnxDecodeError("truncated fixed64 field")
             value = struct.unpack_from("<d", data, pos)[0]
             pos += 8
         else:
-            raise ValueError(f"unsupported wire type {wire}")
+            raise OnnxDecodeError(f"unsupported wire type {wire}")
         yield field, wire, value
 
 
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     result = shift = 0
     while True:
+        if pos >= len(data):
+            raise OnnxDecodeError("truncated varint")
         byte = data[pos]
         pos += 1
         result |= (byte & 0x7F) << shift
         if not byte & 0x80:
             return result, pos
         shift += 7
+        if shift > 63:
+            raise OnnxDecodeError("varint longer than 64 bits")
 
 
 def _parse_tensor(data: bytes) -> tuple[str, np.ndarray]:
@@ -346,6 +366,17 @@ class OnnxModel:
     """
 
     def __init__(self, data: bytes):
+        try:
+            self._parse(data)
+        except OnnxDecodeError:
+            raise
+        except (ValueError, KeyError, TypeError, AttributeError,
+                UnicodeDecodeError, OverflowError, MemoryError) as e:
+            # whatever a malformed stream trips inside numpy/str decoding
+            # surfaces as the one documented decode error
+            raise OnnxDecodeError(f"malformed ONNX bytes: {e}") from e
+
+    def _parse(self, data: bytes) -> None:
         self.ir_version = 0
         self.opset = 0
         graph = b""

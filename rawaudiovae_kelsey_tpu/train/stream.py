@@ -310,8 +310,25 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             NamedSharding(mesh, P(DATA_AXIS)),
             np.asarray(frames_np, jnp.dtype(dtype)),
         )
-        # host h's local frame row r is global row h*n_pad + r
-        idx_base = jax.process_index() * n_pad
+        # This host's local frame rows live at the global rows its
+        # addressable shards cover.  Derived from the materialized array
+        # (not process_index * n_pad): jax.make_mesh may topology-reorder
+        # devices on real pods, so the process's block offset is whatever
+        # the sharding actually assigned.  The local→global row map is only
+        # affine when those shards tile one contiguous block — asserted
+        # here; a non-contiguous layout would need a per-shard map.
+        starts = sorted(
+            (s.index[0].start or 0) for s in dev_frames.addressable_shards
+        )
+        shard_rows = n_pad // dph
+        if starts != [starts[0] + i * shard_rows for i in range(dph)]:
+            raise NotImplementedError(
+                "mesh data-axis devices for this process are not "
+                f"contiguous (shard starts {starts}); resident streaming "
+                "needs a process-contiguous device order — use the "
+                "host-fed path"
+            )
+        idx_base = starts[0]
         pad_rows = (-batch_size) % dph
         idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
         idx_put_fn = lambda a: jax.make_array_from_process_local_data(  # noqa: E731
