@@ -323,16 +323,16 @@ def main() -> None:
                     help="train = frames/sec of the jitted train step; "
                          "synth = real-time synthesis factor of decode")
     args = ap.parse_args()
-    # "best": measured steady-state winner at the default config — XLA
-    # (chain-amortized 4.5M vs Pallas 4.4M frames/s; docs/PERF.md).  The
-    # round-1 "+10% Pallas" was chain=10 dispatch noise, retracted there.
-    # Exceptions: at fp32 "highest" the fused Pallas kernels run at the
-    # 6-pass roofline, +11% over XLA (0.95M vs 0.86M), and the synth
-    # (decode-only) metric's documented figures come from the fused Pallas
-    # decode (the int8 path exists only there) — best follows the measured
-    # winner per tier/metric.
+    # "best": measured steady-state winner per tier (docs/PERF.md).  Since
+    # the round-3 fused backward (dh/dh3 in-register, dx dead-code-
+    # eliminated like XLA's autodiff), Pallas leads every tier it
+    # implements: bf16 4.65 vs 4.52 M frames/s, fp32 "high" 1.744 vs
+    # 1.733 M, "highest" +11%, int8/synth (Pallas-only paths).  Plain
+    # fp32 (single bf16 pass) keeps XLA — unmeasured corner with no
+    # production use (bf16 dominates it in both speed and memory).
     if args.backend == "best":
-        if args.metric == "synth" or args.precision == "highest":
+        if args.metric == "synth" or args.precision in ("bfloat16", "high",
+                                                        "highest"):
             backend = "pallas"
         else:
             backend = "xla"

@@ -1,9 +1,12 @@
 from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (  # noqa: F401
+    dec_bwd_fused,
     decoder_bwd,
     decoder_fwd,
+    enc_bwd_dw1,
     encoder_bwd,
     encoder_fwd,
     grad_accum,
+    grad_accum2,
     matmul_nt,
     matmul_nt2_mask,
     matmul_nt_mask,

@@ -48,10 +48,12 @@ from rawaudiovae_kelsey_tpu.train.state import TrainState
 
 def choose_layout(n_samples: int, seg: int, hop: int, dtype_bytes: int,
                   budget_bytes: int) -> str | None:
-    """"frames" if the 8× matrix fits the budget, else "corpus" if the raw
-    samples fit, else None (fall back to host-fed batches)."""
+    """"frames" if TWICE the 8× matrix fits the budget (the per-epoch
+    whole-matrix shuffle keeps one transient permuted copy next to the
+    original), else "corpus" if the raw samples fit, else None (fall back
+    to host-fed batches)."""
     n_frames = max(0, overlapping_frame_count(n_samples, seg, hop))
-    if n_frames * seg * dtype_bytes <= budget_bytes:
+    if 2 * n_frames * seg * dtype_bytes <= budget_bytes:
         return "frames"
     if n_samples * dtype_bytes <= budget_bytes:
         return "corpus"
@@ -83,12 +85,20 @@ def build_resident_epoch(
     optimizer: optax.GradientTransformation,
     n_samples: int,
     layout: str = "frames",
+    group_k: int = 64,
 ) -> Tuple[Callable, int]:
     """Returns ``(run_epochs, n_batches)`` where
-    ``run_epochs(state, data, epoch0, k=1) -> (state', losses[k, n_batches])``
-    is one compiled call covering ``k`` consecutive full epochs (``k``
-    static).  ``data`` is the array from :func:`put_resident` in the
-    matching layout."""
+    ``run_epochs(state, data, epoch0, k=1) ->
+    (state', losses[group_k, n_batches])`` is ONE compiled call covering up
+    to ``group_k`` consecutive full epochs.  ``k`` is DYNAMIC (round 3):
+    every call compiles the same ``group_k``-epoch graph and epochs past
+    ``k`` are masked no-ops (state passes through untouched, their loss
+    rows read NaN) — a whole run costs exactly one compile, where the
+    round-2 static-``k`` formulation recompiled per distinct group size
+    (~30 s each warm, minutes cold).  Callers slice ``losses[:k]``.
+
+    ``data`` is the array from :func:`put_resident` in the matching layout.
+    """
     seg = model.segment_length
     hop = cfg.audio.hop_length
     batch = cfg.training.batch_size
@@ -102,55 +112,67 @@ def build_resident_epoch(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     prec = _matmul_precision(cfg.tpu.precision)
 
-    if layout == "frames":
-        def assemble(data, starts):
-            return data[starts]                       # contiguous row gather
-    else:
-        def assemble(data, starts):
-            def one(s):
-                return jax.lax.dynamic_slice(data, (s * hop,), (seg,))
-            return jax.vmap(one)(starts)              # 1024-sample runs
+    def body(state, xb):
+        key = jax.random.fold_in(state.rng, state.step)
+        (loss, (mse, kld)), grads = grad_fn(state.params, key, xb)
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32), grads
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_state = TrainState(
+            params=optax.apply_updates(state.params, updates),
+            opt_state=opt_state,
+            rng=state.rng,
+            step=state.step + 1,
+        )
+        return new_state, loss.astype(jnp.float32)
 
     def _one_epoch(state: TrainState, data: jax.Array, epoch):
         perm_key = jax.random.fold_in(
             jax.random.fold_in(state.rng, 0x5EED), epoch
         )
-        perm = jax.random.permutation(perm_key, n_frames)[
-            : n_batches * batch
-        ].reshape(n_batches, batch)
+        sel = jax.random.permutation(perm_key, n_frames)[: n_batches * batch]
+        if layout == "frames":
+            # ONE whole-matrix gather per epoch at HBM bandwidth, then the
+            # step scan consumes contiguous slices — a per-batch row gather
+            # inside the scan serializes with the train step and measured
+            # ~0.5 ms/batch of dead time (docs/PERF.md).  Batches are
+            # bit-identical to gathering rows per step: data[sel][a:b] ==
+            # data[sel[a:b]].  Transient HBM cost: one extra frame-matrix
+            # copy (accounted by choose_layout).
+            shuffled = data[sel].reshape(n_batches, batch, seg)
+            return jax.lax.scan(body, state, shuffled)
 
-        def body(state, starts):
-            xb = assemble(data, starts)
-            key = jax.random.fold_in(state.rng, state.step)
-            (loss, (mse, kld)), grads = grad_fn(state.params, key, xb)
-            grads = jax.tree_util.tree_map(
-                lambda g: g.astype(jnp.float32), grads
-            )
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            new_state = TrainState(
-                params=optax.apply_updates(state.params, updates),
-                opt_state=opt_state,
-                rng=state.rng,
-                step=state.step + 1,
-            )
-            return new_state, loss
+        starts = sel.reshape(n_batches, batch)
 
-        return jax.lax.scan(body, state, perm)
+        def corpus_body(state, st):
+            def one(s):
+                return jax.lax.dynamic_slice(data, (s * hop,), (seg,))
+            return body(state, jax.vmap(one)(st))     # 1024-sample runs
 
-    # k epochs per dispatch (k static): a small-corpus epoch computes in
+        return jax.lax.scan(corpus_body, state, starts)
+
+    # Up to group_k epochs per dispatch: a small-corpus epoch computes in
     # ~15 ms, below one host-link round trip, so per-epoch dispatches are
     # latency-bound — grouping scans the epochs on-device and returns the
-    # (k, n_batches) loss matrix in one call
-    @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+    # (group_k, n_batches) loss matrix in one call.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_epochs(state: TrainState, data: jax.Array, epoch0, k: int = 1):
         with jax.default_matmul_precision(prec):
-            def eb(s, e):
-                return _one_epoch(s, data, e)
+            epoch0 = jnp.asarray(epoch0)
 
-            return jax.lax.scan(eb, state,
-                                jnp.asarray(epoch0) + jnp.arange(k))
+            def eb(s, i):
+                return jax.lax.cond(
+                    i < k,
+                    lambda ss: _one_epoch(ss, data, epoch0 + i),
+                    lambda ss: (ss, jnp.full((n_batches,), jnp.nan,
+                                             jnp.float32)),
+                    s,
+                )
+
+            return jax.lax.scan(eb, state, jnp.arange(group_k))
 
     return run_epochs, n_batches
 
@@ -199,6 +221,7 @@ def build_resident_epoch_sharded(
     optimizer: optax.GradientTransformation,
     n_frames_padded: int,
     mesh,
+    group_k: int = 64,
 ) -> Tuple[Callable, int]:
     """Multi-chip resident epochs: the frame matrix is sharded over the mesh
     ``data`` axis; every chip draws its per-epoch local permutation, gathers
@@ -213,8 +236,10 @@ def build_resident_epoch_sharded(
 
     Returns ``(run_epochs, n_batches)``;
     ``run_epochs(state, sharded_frames, epoch0, k=1) ->
-    (state', losses[k, n_batches])`` with ``k`` static consecutive epochs
-    per compiled call.
+    (state', losses[group_k, n_batches])`` — like
+    :func:`build_resident_epoch`, ``k`` is dynamic against a fixed
+    ``group_k``-epoch compiled graph (one compile per run); rows past
+    ``k`` are NaN and the state passes through them untouched.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -257,12 +282,15 @@ def build_resident_epoch_sharded(
                 ),
                 DATA_AXIS, n_shards,
             )
-        perm = jax.random.permutation(perm_key, n_local)[
+        sel = jax.random.permutation(perm_key, n_local)[
             : n_batches * local_bs
-        ].reshape(n_batches, local_bs)
+        ]
+        # one whole-shard gather per epoch (HBM bandwidth), contiguous
+        # slices in the step scan — same batches as a per-step row gather
+        seg = frames_local.shape[1]
+        shuffled = frames_local[sel].reshape(n_batches, local_bs, seg)
 
-        def body(s, starts):
-            xb = frames_local[starts]
+        def body(s, xb):
             key = jax.random.fold_in(
                 jax.random.fold_in(s.rng, s.step), shard
             )
@@ -278,9 +306,9 @@ def build_resident_epoch_sharded(
             return TrainState(
                 params=optax.apply_updates(s.params, updates),
                 opt_state=opt_state, rng=s.rng, step=s.step + 1,
-            ), loss
+            ), loss.astype(jnp.float32)
 
-        return jax.lax.scan(body, state, perm)
+        return jax.lax.scan(body, state, shuffled)
 
     mapped = jax.shard_map(
         per_shard,
@@ -290,14 +318,21 @@ def build_resident_epoch_sharded(
         check_vma=False,
     )
 
-    @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run_epochs(state, sharded_frames, epoch0, k: int = 1):
         with jax.default_matmul_precision(prec):
-            def eb(s, e):
-                return mapped(s, sharded_frames, e)
+            epoch0 = jnp.asarray(epoch0)
 
-            return jax.lax.scan(eb, state,
-                                jnp.asarray(epoch0) + jnp.arange(k))
+            def eb(s, i):
+                return jax.lax.cond(
+                    i < k,
+                    lambda ss: mapped(ss, sharded_frames, epoch0 + i),
+                    lambda ss: (ss, jnp.full((n_batches,), jnp.nan,
+                                             jnp.float32)),
+                    s,
+                )
+
+            return jax.lax.scan(eb, state, jnp.arange(group_k))
 
     return run_epochs, n_batches
 

@@ -252,6 +252,12 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
 
     optimizer = build_optimizer(cfg)
+    # one fixed group size for the whole run: every dispatch reuses the one
+    # compiled group_k-epoch graph with a dynamic active count (short
+    # groups at checkpoint boundaries mask their tail) — exactly ONE
+    # compile per config, where static per-k graphs cost ~30 s-to-minutes
+    # for EACH distinct group length
+    group_k = min(64, max(1, cfg.training.epochs))
     if ctx.mesh is not None:
         # mesh-sharded resident: frame matrix sharded over 'data', one pmean
         # per step, whole epochs on-chip across the mesh
@@ -264,7 +270,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         frames = R.pad_frames_for_mesh(frames, n_shards)
         dev_corpus = R.put_frames_sharded(frames, cfg, ctx.mesh)
         run_epochs, n_batches = R.build_resident_epoch_sharded(
-            ctx.model, cfg, optimizer, len(frames), ctx.mesh
+            ctx.model, cfg, optimizer, len(frames), ctx.mesh,
+            group_k=group_k,
         )
         del frames
         print(f"Device-resident corpus (sharded over {n_shards} devices): "
@@ -273,7 +280,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
               f"{n_batches} batches/epoch in one compiled call")
     else:
         run_epochs, n_batches = R.build_resident_epoch(
-            ctx.model, cfg, optimizer, n_samples, layout=layout
+            ctx.model, cfg, optimizer, n_samples, layout=layout,
+            group_k=group_k,
         )
         dev_corpus = R.put_resident(corpus, cfg, layout)
         print(f"Device-resident corpus ({layout} layout): {n_samples:,} "
@@ -307,7 +315,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     # over the drained window.  histogram_interval = 0 logs histograms at
     # the checkpoint cadence here (each pull syncs + ships every parameter
     # through the host link).
-    pending = []  # (first epoch, (k, n_batches) device losses)
+    pending = []  # (first epoch, active count, (group_k, n_batches) losses)
 
     def drain():
         nonlocal train_loss
@@ -316,9 +324,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # fetch FIRST: device_get blocks until the queued epochs finish, so
         # the timed window includes the device compute (the repo's timing
         # rule — stopping the timer before the fetch would exclude all
-        # in-flight work and overstate frames/s)
-        fetched = [(ep0, np.asarray(jax.device_get(dl), np.float64))
-                   for ep0, dl in pending]
+        # in-flight work and overstate frames/s).  Rows past the active
+        # count are the masked tail (NaN) — sliced off here.
+        fetched = [(ep0, np.asarray(jax.device_get(dl), np.float64)[:kk])
+                   for ep0, kk, dl in pending]
         pending.clear()
         window_s = ctx.timer.stop()
         n_done = sum(arr.shape[0] for _, arr in fetched)
@@ -350,8 +359,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         runs through the first epoch whose post-epoch action fires (a
         checkpoint or histogram boundary), stops just short of the profile
         epoch so its trace covers exactly one dispatch, and is capped at
-        64 epochs."""
-        cap = min(epochs - 1, e0 + 63)
+        the compiled group size."""
+        cap = min(epochs - 1, e0 + group_k - 1)
         last = e0
         while last < cap:
             if (interval and last % interval == 0 and last != 0) \
@@ -371,7 +380,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             drain()  # bound the trace to this epoch's dispatch
             jax.profiler.start_trace(str(ctx.workspace.log_dir / "profile"))
         ctx.state, dev_losses = run_epochs(ctx.state, dev_corpus, epoch, k=k)
-        pending.append((epoch, dev_losses))
+        pending.append((epoch, k, dev_losses))
         if profiling:
             drain()
             jax.profiler.stop_trace()
@@ -379,7 +388,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             # backpressure: wait for the OLDEST group to finish (without
             # draining — later groups stay in flight) so in-flight work and
             # interrupt latency stay bounded while the pipeline keeps full
-            jax.block_until_ready(pending[0][1])
+            jax.block_until_ready(pending[0][2])
         epoch = last  # the boundary checks below refer to the LAST epoch run
 
         if hist_every and epoch % hist_every == 0:

@@ -397,19 +397,22 @@ def test_resident_epoch_sharded_over_mesh():
     assert dev_frames.sharding.spec[0] is not None  # really sharded
 
     run_epochs, n_batches = build_resident_epoch_sharded(
-        model, cfg, opt, len(frames), mesh
+        model, cfg, opt, len(frames), mesh, group_k=4
     )
     assert n_batches == len(frames) // 64
     epoch_means, per_epoch = [], []
     for epoch in range(4):
         state, losses = run_epochs(state, dev_frames, epoch)
         losses = np.asarray(jax.device_get(losses))
-        assert losses.shape == (1, n_batches)
+        # fixed-group graph: always group_k rows, the masked tail is NaN
+        assert losses.shape == (4, n_batches)
+        assert np.isnan(losses[1:]).all()
         per_epoch.append(losses[0])
-        epoch_means.append(float(losses.mean()))
+        epoch_means.append(float(losses[0].mean()))
     assert epoch_means[-1] < epoch_means[0]
     assert np.isfinite(epoch_means).all()
-    # a k-grouped dispatch replays the same epochs bit-identically
+    # a k-grouped dispatch replays the same epochs bit-identically —
+    # pins that masked tails leave the carried state untouched
     _, _, state_g = make_state(cfg, seed=7)
     state_g, losses_g = run_epochs(state_g, dev_frames, 0, k=4)
     np.testing.assert_array_equal(
@@ -445,7 +448,7 @@ def test_resident_epoch_single_device_kgroup_replay():
     corpus = (0.4 * np.sin(np.arange(40_000) / 30.0)
               + 0.05 * rng.standard_normal(40_000)).astype(np.float32)
     run_epochs, n_batches = build_resident_epoch(
-        model, cfg, opt, len(corpus), layout="frames"
+        model, cfg, opt, len(corpus), layout="frames", group_k=3
     )
     dev = put_resident(corpus, cfg, "frames")
     per_epoch = []
@@ -453,7 +456,8 @@ def test_resident_epoch_single_device_kgroup_replay():
     for epoch in range(3):
         s, losses = run_epochs(s, dev, epoch)
         losses = np.asarray(jax.device_get(losses))
-        assert losses.shape == (1, n_batches)
+        assert losses.shape == (3, n_batches)
+        assert np.isnan(losses[1:]).all()
         per_epoch.append(losses[0])
     _, _, s_g = make_state(cfg, seed=3)
     s_g, losses_g = run_epochs(s_g, dev, 0, k=3)
@@ -526,7 +530,7 @@ def test_resident_sharded_local_shuffle_mode():
     )
     dev_frames = put_frames_sharded(frames, cfg, mesh)
     run_epochs, n_batches = build_resident_epoch_sharded(
-        model, cfg, opt, len(frames), mesh
+        model, cfg, opt, len(frames), mesh, group_k=1
     )
     means = []
     for epoch in range(3):
