@@ -1,28 +1,30 @@
 #!/usr/bin/env python
 """Benchmark harness.
 
-Measures training throughput (frames/sec) of the TPU-native jitted train step
-at the reference's practical configuration — dense VAE 1024/2048/256, batch
-4096 (kelsey_iterable.ini:36) — against the PyTorch-CPU baseline defined by
-BASELINE.json ("≥10× PyTorch-CPU train.py frames/sec"): the same architecture,
-loss and Adam step executed the way the reference's training loop does
-(train.py:179-196).
+Default (no flags): a MATRIX run — every headline configuration from
+BASELINE.json measured in one invocation, emitted as ONE self-describing
+JSON line whose top-level fields are the dense-model headline (what the
+driver parses) and whose ``configs`` array carries the full matrix:
 
-Prints ONE JSON line (self-describing per VERDICT r1 item 2/7):
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
-     "backend": "...", "precision": "...", "batch": N, "chain": N,
-     "mfu": N, "parity": {"pallas_vs_xla_loss_delta": N}}
+    dense bf16 batch 4096 (pallas + xla), giant batch 131072/microbatch
+    8192, fp32 "high" (pallas + xla), fp32 "highest" (pallas + xla),
+    deep variant, conv1d variant, synth bf16, synth int8
 
-Flags:
-    --steps N        timed dispatches per window (default 10)
-    --chain N        optimizer steps per dispatch (default 100)
-    --batch N        batch size (default 4096)
-    --precision P    highest | high | float32 | bfloat16 (default bfloat16)
-    --backend B      best (default: fastest measured config per tier —
-                     xla, except pallas at precision=highest) | xla | pallas
-    --no-torch       skip the torch baseline (vs_baseline falls back to a
-                     cached measurement if present)
-    --no-parity      skip the on-device pallas-vs-xla loss attestation
+Each entry reports backend, precision, batch, frames/s (or x-realtime),
+and MFU where bf16 peak applies; the dense entry carries the on-device
+pallas-vs-xla loss-parity attestation.  A wall-clock budget
+(``--budget``, default 1500 s) bounds the run: configs that don't fit are
+listed under ``skipped`` — never silently dropped.
+
+``--single`` restores the one-configuration mode with the original flags:
+    --metric train|synth --backend best|xla|pallas --precision P
+    --batch N --chain N --steps N --microbatch N --quantize
+
+The torch-CPU baseline is the reference's own training loop re-typed
+(architecture/loss per rawvae/model.py:13-46, loop train.py:179-196),
+measured on this host (best-of-3; cached high-water in
+.bench_torch_baseline.json so a loaded host can only lower our reported
+speedup, never raise it).
 """
 
 from __future__ import annotations
@@ -38,37 +40,100 @@ CACHE = Path(__file__).parent / ".bench_torch_baseline.json"
 SEG, UNITS, LATENT = 1024, 2048, 256
 KL_BETA, LR = 1e-4, 1e-4
 
+DEEP_SEG, DEEP_HIDDEN = 4096, (4096, 2048, 1024, 512)
+CONV_CHANNELS, CONV_K, CONV_S = (32, 64, 128, 256), 9, 4
 
-def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
-              microbatch: int = 0, chain: int = 100,
+V5E_BF16_PEAK = 197e12
+
+
+def _build_cfg(arch: str, batch: int, precision: str, backend: str,
+               microbatch: int = 0):
+    from rawaudiovae_kelsey_tpu.config import Config
+
+    cfg = Config()
+    cfg.vae.latent_dim = LATENT
+    cfg.vae.kl_beta = KL_BETA
+    cfg.training.learning_rate = LR
+    cfg.training.batch_size = batch
+    cfg.tpu.precision = precision
+    cfg.tpu.backend = backend
+    cfg.tpu.microbatch_size = microbatch
+    if arch == "dense":
+        cfg.audio.segment_length = SEG
+        cfg.vae.n_units = UNITS
+    elif arch == "deep":
+        cfg.vae.arch = "deep"
+        cfg.audio.segment_length = DEEP_SEG
+        cfg.audio.hop_length = 512
+        cfg.vae.hidden_dims = ",".join(str(d) for d in DEEP_HIDDEN)
+    elif arch == "conv1d":
+        cfg.vae.arch = "conv1d"
+        cfg.audio.segment_length = SEG
+        cfg.vae.conv_channels = ",".join(str(c) for c in CONV_CHANNELS)
+        cfg.vae.conv_kernel = CONV_K
+        cfg.vae.conv_stride = CONV_S
+    else:
+        raise ValueError(arch)
+    return cfg
+
+
+def flops_per_frame(arch: str) -> float:
+    """Train-step FLOPs per frame: 2·(MACs of the forward) × 3 for
+    fwd+bwd (the dx and dW passes each re-run the GEMM volume — the
+    standard MFU convention, kept from round 2 even though both backends
+    now dead-code-eliminate the first-layer dx GEMM)."""
+    if arch == "dense":
+        fwd = 2.0 * (SEG * UNITS + 2 * UNITS * LATENT + LATENT * UNITS
+                     + UNITS * SEG)
+    elif arch == "deep":
+        dims = [DEEP_SEG, *DEEP_HIDDEN]
+        macs = sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+        macs += 2 * DEEP_HIDDEN[-1] * LATENT              # latent heads
+        rdims = [LATENT, *reversed(DEEP_HIDDEN), DEEP_SEG]
+        macs += sum(a * b for a, b in zip(rdims[:-1], rdims[1:]))
+        fwd = 2.0 * macs
+    elif arch == "conv1d":
+        # strided SAME convs: L_out = ceil(L_in/S); MACs = L_out·K·Cin·Cout.
+        # transpose convs mirror (each input position scatters K taps) —
+        # approximate, good to a few % for MFU purposes.
+        macs = 0.0
+        chs = [1, *CONV_CHANNELS]
+        L = SEG
+        for cin, cout in zip(chs[:-1], chs[1:]):
+            L_out = -(-L // CONV_S)
+            macs += L_out * CONV_K * cin * cout
+            L = L_out
+        flat = L * CONV_CHANNELS[-1]
+        macs += 2 * flat * LATENT + LATENT * flat         # heads + dec_in
+        for cin, cout in zip(chs[::-1][:-1], chs[::-1][1:]):
+            macs += L * CONV_K * cin * cout
+            L *= CONV_S
+        fwd = 2.0 * macs
+    else:
+        raise ValueError(arch)
+    return 3.0 * fwd
+
+
+def bench_jax(arch: str, batch_size: int, steps: int, precision: str,
+              backend: str, microbatch: int = 0, chain: int = 100,
               windows: int = 3) -> float:
-    """``chain`` > 1 runs that many optimizer steps per dispatch inside one
-    jitted lax.scan — the measurement then reflects device throughput even
-    when host→device dispatch latency is high (the axon tunnel's round-trip
-    fluctuates between ~0.5 and ~5 ms, which would otherwise dominate a
-    ~0.9 ms step).  The result is the best of ``windows`` timed windows:
-    the device's steady-state rate is stable, so the max filters host/tunnel
-    noise the same way the torch denominator's best-of-3 does."""
+    """``chain`` optimizer steps per dispatch inside one jitted lax.scan —
+    the measurement then reflects device throughput even when host→device
+    dispatch latency is high (the axon tunnel's round-trip fluctuates
+    ~28-130 ms).  Best of ``windows`` timed windows of ``steps``
+    dispatches each: the device's steady-state rate is stable, so the max
+    filters host/tunnel noise the same way the torch denominator's
+    best-of-3 does."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from rawaudiovae_kelsey_tpu.config import Config
     from rawaudiovae_kelsey_tpu.models import build_model
     from rawaudiovae_kelsey_tpu.parallel import build_train_step
     from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
 
-    cfg = Config()
-    cfg.audio.segment_length = SEG
-    cfg.vae.n_units = UNITS
-    cfg.vae.latent_dim = LATENT
-    cfg.vae.kl_beta = KL_BETA
-    cfg.training.learning_rate = LR
-    cfg.training.batch_size = batch_size
-    cfg.tpu.precision = precision
-    cfg.tpu.backend = backend
-    cfg.tpu.microbatch_size = microbatch
-
+    cfg = _build_cfg(arch, batch_size, precision, backend, microbatch)
+    seg = cfg.audio.segment_length
     model = build_model(cfg)
     opt = build_optimizer(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -89,11 +154,13 @@ def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
         step = one_step
 
     rng = np.random.default_rng(0)
-    batch = jnp.asarray(rng.uniform(-1, 1, (batch_size, SEG)).astype(np.float32))
+    batch = jnp.asarray(
+        rng.uniform(-1, 1, (batch_size, seg)).astype(np.float32))
 
     # warmup: compile + steady steps.  Must FETCH a value: through the axon
     # tunnel, compilation is asynchronous and block_until_ready can return
-    # before it finishes, which would put the compile inside the timed region.
+    # before it finishes, which would put the compile inside the timed
+    # region.
     for _ in range(3):
         state, m = step(state, batch)
     float(jax.device_get(m["loss"]))
@@ -115,23 +182,16 @@ def bench_jax(batch_size: int, steps: int, precision: str, backend: str,
 
 def bench_synth(batch_size: int, steps: int, precision: str,
                 backend: str, quantize: bool = False):
-    """Real-time synthesis factor (BASELINE.json "metric"): how many seconds
-    of 44.1 kHz audio the decode path (latent → waveform) produces per
-    wall-clock second, measured on device-resident latents.  Returns
-    ``(factor, chain_used)``."""
+    """Real-time synthesis factor (BASELINE.json "metric"): seconds of
+    44.1 kHz audio the decode path produces per wall-clock second, on
+    device-resident latents.  Returns ``(factor, chain_used)``."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from rawaudiovae_kelsey_tpu.config import Config
     from rawaudiovae_kelsey_tpu.models import build_model
 
-    cfg = Config()
-    cfg.audio.segment_length = SEG
-    cfg.vae.n_units = UNITS
-    cfg.vae.latent_dim = LATENT
-    cfg.tpu.precision = precision
-    cfg.tpu.backend = backend
+    cfg = _build_cfg("dense", batch_size, precision, backend)
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0))
     if quantize:
@@ -157,11 +217,7 @@ def bench_synth(batch_size: int, steps: int, precision: str,
         z = z.astype(jnp.bfloat16)
 
     # chain the decodes inside one dispatch (same methodology as the train
-    # metric): per-dispatch tunnel latency otherwise dominates and the
-    # figure measures the link, not the chip.  The 1e-30 feedback keeps
-    # the loop un-hoistable; its cost is negligible next to the GEMMs.
-    # --steps below 50 is raised to keep the dispatch amortized; the JSON
-    # line reports the chain actually used.
+    # metric); the 1e-30 feedback keeps the loop un-hoistable.
     chain = max(steps, 50)
 
     @jax.jit
@@ -225,9 +281,6 @@ def bench_torch_cpu(batch_size: int, steps: int = 3) -> float:
         return float(loss.item())
 
     one_step()  # warmup
-    # best-of-3 repeats: the denominator of vs_baseline should be torch's
-    # BEST case, so host-load dips can only make our reported speedup
-    # smaller (conservative), never larger
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
@@ -238,20 +291,37 @@ def bench_torch_cpu(batch_size: int, steps: int = 3) -> float:
     return best
 
 
-def parity_check(batch_size: int, precision: str) -> float:
-    """On-device Pallas-vs-XLA loss attestation (VERDICT r1 item 7).
+def torch_baseline(batch: int, skip_measure: bool = False):
+    cached = None
+    if CACHE.exists():
+        rec = json.loads(CACHE.read_text())
+        if rec.get("batch") == batch:
+            cached = rec.get("torch_cpu_frames_per_sec")
+    baseline = None
+    if not skip_measure:
+        try:
+            baseline = bench_torch_cpu(batch)
+            if cached:
+                baseline = max(baseline, cached)
+            CACHE.write_text(json.dumps(
+                {"torch_cpu_frames_per_sec": baseline, "batch": batch}
+            ))
+        except Exception as e:  # noqa: BLE001
+            print(f"torch baseline failed: {e}", file=sys.stderr)
+    return baseline if baseline is not None else cached
 
-    Runs ONE identical train step per backend — same init, same batch, same
-    fold_in key — in compiled mode on whatever jax.devices() gives (the real
-    TPU under the driver), and returns |loss_pallas − loss_xla|.  This makes
-    compiled-mode kernel correctness driver-visible every bench run; the CPU
-    test suite only ever exercises the kernels in interpret mode.
-    """
+
+def parity_check(batch_size: int, precision: str) -> float:
+    """On-device Pallas-vs-XLA loss attestation: ONE identical 5-step
+    train sequence per backend — same init, same batch, same fold_in keys
+    — compiled on whatever jax.devices() gives (the real TPU under the
+    driver); returns |loss_pallas − loss_xla|.  The CPU suite only ever
+    exercises the kernels in interpret mode; this makes compiled-mode
+    correctness driver-visible on every bench run."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from rawaudiovae_kelsey_tpu.config import Config
     from rawaudiovae_kelsey_tpu.models import build_model
     from rawaudiovae_kelsey_tpu.parallel import build_train_step
     from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
@@ -262,83 +332,139 @@ def parity_check(batch_size: int, precision: str) -> float:
     )
     losses = {}
     for backend in ("xla", "pallas"):
-        cfg = Config()
-        cfg.audio.segment_length = SEG
-        cfg.vae.n_units = UNITS
-        cfg.vae.latent_dim = LATENT
-        cfg.vae.kl_beta = KL_BETA
-        cfg.training.learning_rate = LR
-        cfg.training.batch_size = batch_size
-        cfg.tpu.precision = precision
-        cfg.tpu.backend = backend
+        cfg = _build_cfg("dense", batch_size, precision, backend)
         model = build_model(cfg)
         opt = build_optimizer(cfg)
         params = model.init(jax.random.PRNGKey(0))
         state = TrainState.create(params, opt.init(params), seed=0)
         step = build_train_step(model, cfg, opt, donate=False)
-        # several optimizer steps so kernel-numeric differences compound
-        # through Adam before the comparison
         for _ in range(5):
             state, m = step(state, batch)
         losses[backend] = float(jax.device_get(m["loss"]))
     return abs(losses["pallas"] - losses["xla"])
 
 
-def model_flops_per_frame() -> float:
-    """Train-step FLOPs per frame: 4 forward GEMMs (SURVEY §3.3) × 3 for
-    fwd+bwd (dx and dW each re-run the GEMM volume)."""
-    fwd = 2.0 * (SEG * UNITS + 2 * UNITS * LATENT + LATENT * UNITS
-                 + UNITS * SEG)
-    return 3.0 * fwd
+def resolve_best(metric: str, precision: str) -> str:
+    # Measured winner per tier (docs/PERF.md): since the round-3 fused
+    # backward (dh/dh3 in-register, dx dead-code-eliminated like XLA's
+    # autodiff), Pallas leads every tier it implements — bf16 4.65 vs
+    # 4.52 M frames/s, "high" 1.744 vs 1.733 M, "highest" +11 %, and the
+    # synth/int8 decode paths exist only in Pallas.  Plain fp32 (single
+    # bf16 pass) keeps XLA — unmeasured corner with no production use.
+    if metric == "synth" or precision in ("bfloat16", "high", "highest"):
+        return "pallas"
+    return "xla"
 
 
-V5E_BF16_PEAK = 197e12
+# The matrix: every BASELINE.json headline configuration.  Dense entries
+# first (they carry the driver headline), then precision tiers, variants,
+# synth.  conv1d/deep run their measured-best backend (XLA — see
+# docs/PERF.md conv/deep sections; backend=pallas routes conv to XLA
+# anyway, models/registry.py:104).
+MATRIX = [
+    {"name": "dense_bf16_pallas", "arch": "dense", "batch": 4096,
+     "precision": "bfloat16", "backend": "pallas"},
+    {"name": "dense_bf16_xla", "arch": "dense", "batch": 4096,
+     "precision": "bfloat16", "backend": "xla"},
+    {"name": "dense_bf16_giant_batch", "arch": "dense", "batch": 131072,
+     "precision": "bfloat16", "backend": "pallas", "microbatch": 8192,
+     "chain": 4, "steps": 3},
+    {"name": "dense_high_pallas", "arch": "dense", "batch": 4096,
+     "precision": "high", "backend": "pallas"},
+    {"name": "dense_high_xla", "arch": "dense", "batch": 4096,
+     "precision": "high", "backend": "xla"},
+    {"name": "dense_highest_pallas", "arch": "dense", "batch": 4096,
+     "precision": "highest", "backend": "pallas"},
+    {"name": "dense_highest_xla", "arch": "dense", "batch": 4096,
+     "precision": "highest", "backend": "xla"},
+    {"name": "deep_bf16_xla", "arch": "deep", "batch": 4096,
+     "precision": "bfloat16", "backend": "xla", "steps": 5},
+    {"name": "conv1d_bf16_xla", "arch": "conv1d", "batch": 4096,
+     "precision": "bfloat16", "backend": "xla", "steps": 5},
+    {"name": "synth_bf16", "metric": "synth", "precision": "bfloat16",
+     "backend": "pallas", "batch": 4096},
+    {"name": "synth_int8", "metric": "synth", "precision": "bfloat16",
+     "backend": "pallas", "batch": 4096, "quantize": True},
+]
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=10,
-                    help="timed dispatches per window")
-    ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--precision", type=str, default="bfloat16")
-    ap.add_argument("--backend", type=str, default="best",
-                    help="best (default; resolves to the fastest measured "
-                         "config per tier: xla, except pallas at "
-                         "precision=highest) | xla | pallas")
-    ap.add_argument("--no-torch", action="store_true")
-    ap.add_argument("--no-parity", action="store_true",
-                    help="skip the on-device pallas-vs-xla attestation")
-    ap.add_argument("--quantize", action="store_true",
-                    help="synth metric: int8 weight-only Pallas decode")
-    ap.add_argument("--chain", type=int, default=100,
-                    help="optimizer steps per dispatch (lax.scan); "
-                         "amortizes host dispatch latency")
-    ap.add_argument("--windows", type=int, default=3,
-                    help="timed windows; the best is reported")
-    ap.add_argument("--microbatch", type=int, default=0,
-                    help="gradient-accumulation microbatch size (lets the "
-                         "reference default batch 131072 run on one chip)")
-    ap.add_argument("--metric", type=str, default="train",
-                    choices=["train", "synth"],
-                    help="train = frames/sec of the jitted train step; "
-                         "synth = real-time synthesis factor of decode")
-    args = ap.parse_args()
-    # "best": measured steady-state winner per tier (docs/PERF.md).  Since
-    # the round-3 fused backward (dh/dh3 in-register, dx dead-code-
-    # eliminated like XLA's autodiff), Pallas leads every tier it
-    # implements: bf16 4.65 vs 4.52 M frames/s, fp32 "high" 1.744 vs
-    # 1.733 M, "highest" +11%, int8/synth (Pallas-only paths).  Plain
-    # fp32 (single bf16 pass) keeps XLA — unmeasured corner with no
-    # production use (bf16 dominates it in both speed and memory).
-    if args.backend == "best":
-        if args.metric == "synth" or args.precision in ("bfloat16", "high",
-                                                        "highest"):
-            backend = "pallas"
-        else:
-            backend = "xla"
-    else:
-        backend = args.backend
+def run_matrix(args) -> None:
+    t0 = time.monotonic()
+    configs, skipped = [], []
+    for spec in MATRIX:
+        elapsed = time.monotonic() - t0
+        if elapsed > args.budget:
+            skipped.append({"name": spec["name"], "reason": "time budget"})
+            continue
+        entry = {"name": spec["name"],
+                 "backend": spec.get("backend", "pallas"),
+                 "precision": spec["precision"],
+                 "batch": spec["batch"]}
+        try:
+            if spec.get("metric") == "synth":
+                rtf, chain = bench_synth(
+                    spec["batch"], args.steps, spec["precision"],
+                    spec["backend"], quantize=spec.get("quantize", False))
+                entry.update(metric="realtime_synth_factor",
+                             value=round(rtf, 1), unit="x_realtime",
+                             chain=chain)
+                if spec.get("quantize"):
+                    entry["precision"] = "int8"
+            else:
+                chain = spec.get("chain", args.chain)
+                steps = spec.get("steps", args.steps)
+                fps = bench_jax(
+                    spec["arch"], spec["batch"], steps, spec["precision"],
+                    spec["backend"], microbatch=spec.get("microbatch", 0),
+                    chain=chain, windows=args.windows)
+                entry.update(metric="train_frames_per_sec",
+                             value=round(fps, 1), unit="frames/s",
+                             chain=chain, microbatch=spec.get("microbatch", 0))
+                if spec["precision"] == "bfloat16":
+                    entry["mfu"] = round(
+                        fps * flops_per_frame(spec["arch"]) / V5E_BF16_PEAK,
+                        3)
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            entry["error"] = str(e)[:300]
+        configs.append(entry)
+        print(f"# {entry}", file=sys.stderr, flush=True)
 
+    dense = [c for c in configs
+             if c.get("metric") == "train_frames_per_sec"
+             and c["name"].startswith("dense_bf16") and "value" in c]
+    headline = max(dense, key=lambda c: c["value"]) if dense else None
+    baseline = torch_baseline(4096, skip_measure=args.no_torch)
+
+    result = {
+        "metric": "train_frames_per_sec",
+        "value": headline["value"] if headline else None,
+        "unit": "frames/s",
+        "vs_baseline": (round(headline["value"] / baseline, 2)
+                        if headline and baseline else None),
+        "backend": headline["backend"] if headline else None,
+        "precision": headline["precision"] if headline else None,
+        "batch": headline["batch"] if headline else None,
+        "chain": headline.get("chain") if headline else None,
+        "mfu": headline.get("mfu") if headline else None,
+        "headline_config": headline["name"] if headline else None,
+        "torch_cpu_frames_per_sec": baseline,
+        "configs": configs,
+    }
+    if skipped:
+        result["skipped"] = skipped
+    if not args.no_parity:
+        try:
+            result["parity"] = {
+                "pallas_vs_xla_loss_delta": parity_check(4096, "bfloat16"),
+            }
+        except Exception as e:  # noqa: BLE001
+            result["parity"] = {"error": str(e)[:200]}
+    print(json.dumps(result))
+
+
+def run_single(args) -> None:
+    backend = (resolve_best(args.metric, args.precision)
+               if args.backend == "best" else args.backend)
     if args.metric == "synth":
         rtf, synth_chain = bench_synth(args.batch, args.steps,
                                        args.precision, backend,
@@ -355,32 +481,10 @@ def main() -> None:
         }))
         return
 
-    fps = bench_jax(args.batch, args.steps, args.precision, backend,
-                    microbatch=args.microbatch, chain=args.chain,
+    fps = bench_jax(args.arch, args.batch, args.steps, args.precision,
+                    backend, microbatch=args.microbatch, chain=args.chain,
                     windows=args.windows)
-
-    # The cache keeps the high-water torch rate per batch size so the
-    # denominator is pinned: a loaded host can only lower our reported
-    # speedup, never raise it.
-    cached = None
-    if CACHE.exists():
-        rec = json.loads(CACHE.read_text())
-        if rec.get("batch") == args.batch:
-            cached = rec.get("torch_cpu_frames_per_sec")
-    baseline = None
-    if not args.no_torch:
-        try:
-            baseline = bench_torch_cpu(args.batch)
-            if cached:
-                baseline = max(baseline, cached)
-            CACHE.write_text(json.dumps(
-                {"torch_cpu_frames_per_sec": baseline, "batch": args.batch}
-            ))
-        except Exception as e:  # noqa: BLE001
-            print(f"torch baseline failed: {e}", file=sys.stderr)
-    if baseline is None:
-        baseline = cached
-
+    baseline = torch_baseline(args.batch, skip_measure=args.no_torch)
     result = {
         "metric": "train_frames_per_sec",
         "value": round(fps, 1),
@@ -390,14 +494,10 @@ def main() -> None:
         "precision": args.precision,
         "batch": args.batch,
         "chain": args.chain,
-        # MFU against v5e's 197 TFLOPS bf16 peak; only meaningful when the
-        # MXU runs single-pass bf16
-        "mfu": (round(fps * model_flops_per_frame() / V5E_BF16_PEAK, 3)
+        "mfu": (round(fps * flops_per_frame(args.arch) / V5E_BF16_PEAK, 3)
                 if args.precision == "bfloat16" else None),
     }
     if not args.no_parity:
-        # never lose the measured headline to an attestation failure —
-        # report the error in-band instead
         try:
             result["parity"] = {
                 "pallas_vs_xla_loss_delta": parity_check(args.batch,
@@ -406,6 +506,46 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["parity"] = {"error": str(e)[:200]}
     print(json.dumps(result))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--single", action="store_true",
+                    help="one configuration instead of the default matrix")
+    ap.add_argument("--arch", type=str, default="dense",
+                    choices=["dense", "deep", "conv1d"])
+    ap.add_argument("--steps", type=int, default=10,
+                    help="timed dispatches per window")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--precision", type=str, default="bfloat16")
+    ap.add_argument("--backend", type=str, default="best",
+                    help="best (measured winner per tier) | xla | pallas")
+    ap.add_argument("--no-torch", action="store_true")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the on-device pallas-vs-xla attestation")
+    ap.add_argument("--quantize", action="store_true",
+                    help="synth metric: int8 weight-only Pallas decode")
+    ap.add_argument("--chain", type=int, default=100,
+                    help="optimizer steps per dispatch (lax.scan)")
+    ap.add_argument("--windows", type=int, default=3,
+                    help="timed windows; the best is reported")
+    ap.add_argument("--microbatch", type=int, default=0,
+                    help="gradient-accumulation microbatch size")
+    ap.add_argument("--metric", type=str, default="train",
+                    choices=["train", "synth"])
+    ap.add_argument("--budget", type=float, default=1500.0,
+                    help="matrix mode: wall-clock budget in seconds")
+    args = ap.parse_args()
+    # any targeting flag implies single-config mode — `bench.py --backend
+    # pallas` should measure that config, not the whole matrix
+    targeted = (args.single or args.metric == "synth"
+                or args.backend != "best" or args.precision != "bfloat16"
+                or args.batch != 4096 or args.arch != "dense"
+                or args.microbatch or args.quantize)
+    if targeted:
+        run_single(args)
+    else:
+        run_matrix(args)
 
 
 if __name__ == "__main__":

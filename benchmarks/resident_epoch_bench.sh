@@ -51,5 +51,5 @@ device_resident = always
 """)
 print(d)
 EOF
-time python train.py --config "$D/bench.ini" 2>&1 | grep -E "frames/s|compile|Resident|resident" | tail -20
+python train.py --config "$D/bench.ini" 2>&1 | grep -E "frames/s|compile|Resident|resident" | tail -20
 rm -rf "$D"

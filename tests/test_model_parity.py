@@ -2,7 +2,12 @@
 architecture (rebuilt inline here from the rawvae/model.py:5-46 spec — we do
 not import reference code).  This pins the bit-for-float requirement of
 BASELINE.json: identical weights → identical encode/decode/loss up to fp32
-accumulation-order noise (a few ULPs)."""
+accumulation-order noise.  Where the tolerance comes from (measured,
+benchmarks/ulp_audit.py, at the full 1024/2048/256 scale): the matmul
+reduction-order differences contribute up to ~1.2e-6 abs on the fc1
+pre-activation and ~3.3e-7 on the chained encode/decode outputs, while
+the transcendentals are near-exact (exp 1 ULP, tanh 4 ULP) — so the
+bound is set by dot-product accumulation order, not libm."""
 
 import numpy as np
 import pytest
@@ -58,9 +63,9 @@ def test_encode_parity(pair):
     with torch.no_grad():
         tmu, tlogvar = tmodel.encode(torch.from_numpy(x))
     jmu, jlogvar = vae.encode(params, jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(jmu), tmu.numpy(), atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jmu), tmu.numpy(), atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(jlogvar), tlogvar.numpy(), atol=2e-6, rtol=1e-5
+        np.asarray(jlogvar), tlogvar.numpy(), atol=1e-6, rtol=1e-5
     )
 
 
@@ -70,7 +75,7 @@ def test_decode_parity(pair):
     with torch.no_grad():
         tx = tmodel.decode(torch.from_numpy(z))
     jx = vae.decode(params, jnp.asarray(z))
-    np.testing.assert_allclose(np.asarray(jx), tx.numpy(), atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jx), tx.numpy(), atol=1e-6, rtol=1e-5)
 
 
 def test_roundtrip_encode_decode_parity(pair):
