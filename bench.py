@@ -388,7 +388,33 @@ MATRIX = [
 ]
 
 
+def _single_cmd(spec, args) -> list:
+    cmd = [sys.executable, str(Path(__file__).resolve()), "--single",
+           "--no-torch", "--no-parity",
+           "--precision", spec["precision"],
+           "--backend", spec.get("backend", "pallas"),
+           "--batch", str(spec["batch"]),
+           "--chain", str(spec.get("chain", args.chain)),
+           "--steps", str(spec.get("steps", args.steps)),
+           "--windows", str(args.windows)]
+    if spec.get("metric") == "synth":
+        cmd += ["--metric", "synth"]
+        if spec.get("quantize"):
+            cmd += ["--quantize"]
+    else:
+        cmd += ["--arch", spec["arch"],
+                "--microbatch", str(spec.get("microbatch", 0))]
+    return cmd
+
+
 def run_matrix(args) -> None:
+    # Each config runs in its OWN subprocess with a hard timeout: an
+    # axon-tunnel RPC that never returns (observed in the wild — a
+    # device_get can block forever on a lost async compile) then costs one
+    # config, not the whole matrix.  The remote compile cache is shared
+    # across processes, so no compilation is repeated.
+    import subprocess
+
     t0 = time.monotonic()
     configs, skipped = [], []
     for spec in MATRIX:
@@ -401,29 +427,28 @@ def run_matrix(args) -> None:
                  "precision": spec["precision"],
                  "batch": spec["batch"]}
         try:
-            if spec.get("metric") == "synth":
-                rtf, chain = bench_synth(
-                    spec["batch"], args.steps, spec["precision"],
-                    spec["backend"], quantize=spec.get("quantize", False))
-                entry.update(metric="realtime_synth_factor",
-                             value=round(rtf, 1), unit="x_realtime",
-                             chain=chain)
+            proc = subprocess.run(
+                _single_cmd(spec, args), capture_output=True, text=True,
+                timeout=args.config_timeout, cwd=Path(__file__).parent)
+            line = proc.stdout.strip().splitlines()[-1] if \
+                proc.stdout.strip() else ""
+            if proc.returncode != 0 or not line.startswith("{"):
+                entry["error"] = (proc.stderr or proc.stdout)[-300:]
+            else:
+                sub = json.loads(line)
+                entry.update(metric=sub["metric"], value=sub["value"],
+                             unit=sub["unit"], chain=sub.get("chain"))
                 if spec.get("quantize"):
                     entry["precision"] = "int8"
-            else:
-                chain = spec.get("chain", args.chain)
-                steps = spec.get("steps", args.steps)
-                fps = bench_jax(
-                    spec["arch"], spec["batch"], steps, spec["precision"],
-                    spec["backend"], microbatch=spec.get("microbatch", 0),
-                    chain=chain, windows=args.windows)
-                entry.update(metric="train_frames_per_sec",
-                             value=round(fps, 1), unit="frames/s",
-                             chain=chain, microbatch=spec.get("microbatch", 0))
-                if spec["precision"] == "bfloat16":
+                if "microbatch" in spec:
+                    entry["microbatch"] = spec["microbatch"]
+                if (sub["metric"] == "train_frames_per_sec"
+                        and spec["precision"] == "bfloat16"):
                     entry["mfu"] = round(
-                        fps * flops_per_frame(spec["arch"]) / V5E_BF16_PEAK,
-                        3)
+                        sub["value"] * flops_per_frame(spec["arch"])
+                        / V5E_BF16_PEAK, 3)
+        except subprocess.TimeoutExpired:
+            entry["error"] = f"timeout after {args.config_timeout}s"
         except Exception as e:  # noqa: BLE001 — never lose the headline
             entry["error"] = str(e)[:300]
         configs.append(entry)
@@ -535,6 +560,8 @@ def main() -> None:
                     choices=["train", "synth"])
     ap.add_argument("--budget", type=float, default=1500.0,
                     help="matrix mode: wall-clock budget in seconds")
+    ap.add_argument("--config-timeout", type=float, default=420.0,
+                    help="matrix mode: hard per-config subprocess timeout")
     args = ap.parse_args()
     # any targeting flag implies single-config mode — `bench.py --backend
     # pallas` should measure that config, not the whole matrix
