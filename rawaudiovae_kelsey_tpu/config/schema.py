@@ -133,7 +133,11 @@ class TPUConfig:
     # err) | "bfloat16" | "high" (bf16 3-pass, ~1e-6 rel err — the fast
     # parity tier, ~1.6M frames/s) | "highest" (6-pass, true fp32).
     precision: str = "highest"
-    # Kernel backend for the hot path: "xla" (always available) | "pallas".
+    # Kernel backend for the hot path: "xla" (always available; the
+    # default so CPU runs don't pay interpret-mode kernels) | "pallas" |
+    # "best" (resolves to the measured winner per model family — pallas
+    # for the dense model on every tier, xla for deep/conv1d when on TPU;
+    # docs/PERF.md).
     backend: str = "xla"
     # Microbatch size for gradient accumulation; 0 disables.  Lets the
     # reference's default batch_size=131072 (default.ini:27, reduced to 4096
@@ -213,7 +217,7 @@ class Config:
         if self.tpu.precision not in ("float32", "bfloat16", "high",
                                       "highest"):
             raise ValueError(f"unknown precision {self.tpu.precision!r}")
-        if self.tpu.backend not in ("xla", "pallas"):
+        if self.tpu.backend not in ("best", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.tpu.backend!r}")
         if self.tpu.feed_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown feed_dtype {self.tpu.feed_dtype!r}")

@@ -51,16 +51,32 @@ def _parse_int_list(s: str, default):
     return [int(t) for t in s.replace(" ", "").split(",") if t]
 
 
+def _resolve_backend(cfg: Config, arch: str) -> str:
+    """``best`` → the measured winner per family (docs/PERF.md): the
+    fused Pallas tier for the dense model on a real TPU (it leads every
+    precision tier since round 3), XLA for deep/conv1d and for CPU runs
+    (interpret-mode kernels exist for correctness, not speed)."""
+    backend = cfg.tpu.backend
+    if backend != "best":
+        return backend
+    if arch != "dense":
+        return "xla"
+    platform = jax.devices()[0].platform.lower()
+    on_tpu = "tpu" in platform or "axon" in platform
+    return "pallas" if on_tpu else "xla"
+
+
 def build_model(cfg: Config) -> ModelDef:
     """Construct the ModelDef selected by ``cfg.vae.arch``."""
     seg = cfg.audio.segment_length
     latent = cfg.vae.latent_dim
     arch = cfg.vae.arch
+    backend = _resolve_backend(cfg, arch)
 
     if arch == "dense":
         n_units = cfg.vae.n_units
         encode_fn, decode_fn = vae.encode, vae.decode
-        if cfg.tpu.backend == "pallas":
+        if backend == "pallas":
             from rawaudiovae_kelsey_tpu.ops import pallas_decode, pallas_encode
 
             encode_fn, decode_fn = pallas_encode, pallas_decode
@@ -77,7 +93,7 @@ def build_model(cfg: Config) -> ModelDef:
     if arch == "deep":
         hidden = _parse_int_list(cfg.vae.hidden_dims, (4096, 2048, 1024, 512))
         encode_fn, decode_fn = variants.encode_deep, variants.decode_deep
-        if cfg.tpu.backend == "pallas":
+        if backend == "pallas":
             from rawaudiovae_kelsey_tpu.ops import (
                 deep_decode_pallas,
                 deep_encode_pallas,

@@ -169,3 +169,25 @@ def test_stamp_start_end():
     assert cfg.extra.start
     assert cfg.extra.end
     assert cfg.extra.time_elapsed == "123.500s"
+
+
+def test_backend_best_accepted_and_resolved():
+    """`[tpu] backend = best` parses and resolves to a concrete backend
+    per model family (xla on CPU test runs — interpret-mode kernels are a
+    correctness tool, not a speed path)."""
+    from rawaudiovae_kelsey_tpu.config import Config
+    from rawaudiovae_kelsey_tpu.models import build_model
+    from rawaudiovae_kelsey_tpu.models.registry import _resolve_backend
+
+    cfg = Config()
+    cfg.tpu.backend = "best"
+    cfg.validate()
+    assert _resolve_backend(cfg, "dense") in ("xla", "pallas")
+    assert _resolve_backend(cfg, "deep") == "xla"
+    assert _resolve_backend(cfg, "conv1d") == "xla"
+    build_model(cfg)  # constructs without error
+
+    cfg.tpu.backend = "bogus"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown backend"):
+        cfg.validate()
