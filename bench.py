@@ -417,6 +417,19 @@ def run_matrix(args) -> None:
 
     t0 = time.monotonic()
     configs, skipped = [], []
+    side = Path(__file__).parent / "BENCH_MATRIX.json"
+
+    def checkpoint_side():
+        # incremental side-file: if the caller's timeout kills this run,
+        # the measured prefix survives (and the repo carries the last
+        # full matrix regardless of the driver's parser)
+        try:
+            side.write_text(json.dumps(
+                {"configs": configs, "skipped": skipped,
+                 "elapsed_s": round(time.monotonic() - t0, 1)}, indent=1))
+        except OSError:
+            pass
+
     for spec in MATRIX:
         elapsed = time.monotonic() - t0
         if elapsed > args.budget:
@@ -453,6 +466,7 @@ def run_matrix(args) -> None:
             entry["error"] = str(e)[:300]
         configs.append(entry)
         print(f"# {entry}", file=sys.stderr, flush=True)
+        checkpoint_side()
 
     dense = [c for c in configs
              if c.get("metric") == "train_frames_per_sec"
@@ -484,6 +498,10 @@ def run_matrix(args) -> None:
             }
         except Exception as e:  # noqa: BLE001
             result["parity"] = {"error": str(e)[:200]}
+    try:
+        side.write_text(json.dumps(result, indent=1))
+    except OSError:
+        pass
     print(json.dumps(result))
 
 

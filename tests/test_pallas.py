@@ -572,3 +572,47 @@ def test_encode_input_grad_parity(params, x):
     gx2 = jax.grad(loss_ref)(x)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_backend_under_mesh():
+    """The Pallas tier must stay usable under jax.sharding meshes: GSPMD
+    partitions the train step around the custom calls for both pure-dp
+    and dp x tp layouts (loss equal across layouts)."""
+    import numpy as np
+
+    from rawaudiovae_kelsey_tpu.config import Config
+    from rawaudiovae_kelsey_tpu.models import build_model
+    from rawaudiovae_kelsey_tpu.parallel import (
+        build_train_step,
+        make_mesh,
+        named_shardings,
+        param_specs,
+    )
+    from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
+    from rawaudiovae_kelsey_tpu.train import TrainState, build_optimizer
+
+    losses = {}
+    for mp in (1, 2):
+        cfg = Config()
+        cfg.audio.segment_length = SEG
+        cfg.vae.n_units = UNITS
+        cfg.vae.latent_dim = LATENT
+        cfg.training.batch_size = 32
+        cfg.tpu.backend = "pallas"
+        cfg.tpu.model_parallel = mp
+        mesh = make_mesh(8 // mp, mp)
+        model = build_model(cfg)
+        opt = build_optimizer(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        params = jax.device_put(
+            params, named_shardings(mesh, param_specs(model.name, params, mp))
+        )
+        state = TrainState.create(params, opt.init(params), seed=0)
+        step = build_train_step(model, cfg, opt, mesh=mesh)
+        batch = jax.device_put(
+            jnp.ones((32, SEG), jnp.float32) * 0.1, batch_sharding(mesh)
+        )
+        state, m = step(state, batch)
+        losses[mp] = float(jax.device_get(m["loss"]))
+        assert np.isfinite(losses[mp])
+    assert abs(losses[1] - losses[2]) < 1e-5
