@@ -439,15 +439,21 @@ def run_matrix(args) -> None:
                  "backend": spec.get("backend", "pallas"),
                  "precision": spec["precision"],
                  "batch": spec["batch"]}
-        try:
-            proc = subprocess.run(
-                _single_cmd(spec, args), capture_output=True, text=True,
-                timeout=args.config_timeout, cwd=Path(__file__).parent)
-            line = proc.stdout.strip().splitlines()[-1] if \
-                proc.stdout.strip() else ""
-            if proc.returncode != 0 or not line.startswith("{"):
-                entry["error"] = (proc.stderr or proc.stdout)[-300:]
-            else:
+        # two attempts: the axon tunnel occasionally loses an async-compile
+        # RPC and the subprocess blocks forever in device_get — the retry
+        # hits the (process-independent) remote compile cache, so a second
+        # attempt is cheap and usually lands
+        for attempt in range(2):
+            entry.pop("error", None)
+            try:
+                proc = subprocess.run(
+                    _single_cmd(spec, args), capture_output=True, text=True,
+                    timeout=args.config_timeout, cwd=Path(__file__).parent)
+                line = proc.stdout.strip().splitlines()[-1] if \
+                    proc.stdout.strip() else ""
+                if proc.returncode != 0 or not line.startswith("{"):
+                    entry["error"] = (proc.stderr or proc.stdout)[-300:]
+                    continue
                 sub = json.loads(line)
                 entry.update(metric=sub["metric"], value=sub["value"],
                              unit=sub["unit"], chain=sub.get("chain"))
@@ -460,10 +466,12 @@ def run_matrix(args) -> None:
                     entry["mfu"] = round(
                         sub["value"] * flops_per_frame(spec["arch"])
                         / V5E_BF16_PEAK, 3)
-        except subprocess.TimeoutExpired:
-            entry["error"] = f"timeout after {args.config_timeout}s"
-        except Exception as e:  # noqa: BLE001 — never lose the headline
-            entry["error"] = str(e)[:300]
+                break
+            except subprocess.TimeoutExpired:
+                entry["error"] = (f"timeout after {args.config_timeout}s"
+                                  f" (attempt {attempt + 1})")
+            except Exception as e:  # noqa: BLE001 — keep the headline
+                entry["error"] = str(e)[:300]
         configs.append(entry)
         print(f"# {entry}", file=sys.stderr, flush=True)
         checkpoint_side()

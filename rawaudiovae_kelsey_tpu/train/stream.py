@@ -379,6 +379,19 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     prec = _matmul_precision(cfg.tpu.precision)
 
+    # Single-device: assemble the whole chunk's rows in ONE gather up
+    # front (HBM bandwidth) instead of a per-step gather that serializes
+    # against each train step (same lever as the resident epoch trainer's
+    # whole-matrix shuffle — batches are identical, frames[I][j] ==
+    # frames[I[j]]).  Guarded to ~1 GB of transient chunk buffer and the
+    # unsharded path (the mesh paths keep the per-step gather whose
+    # sharding GSPMD already partitions).
+    seg_len = cfg.audio.segment_length
+    dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
+    pregather = (mesh is None and
+                 chunk * (batch_size + pad_rows) * seg_len * dtype_bytes
+                 <= 1 << 30)
+
     @jax.jit
     def run_chunk(state, idx_chunk, frames):
         # frames passed as an argument (not closed over): multi-process
@@ -388,9 +401,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 idx_chunk = jax.lax.with_sharding_constraint(
                     idx_chunk, idx_sharding
                 )
+            if pregather:
+                k, rows = idx_chunk.shape
+                idx_chunk = frames[idx_chunk.reshape(-1)].reshape(
+                    k, rows, seg_len)
 
             def body(s, idx):
-                xb = frames[idx]
+                # `idx` is a row of prefetched frames when pregathered,
+                # else an int32 index row to gather here
+                xb = idx if pregather else frames[idx]
                 key = jax.random.fold_in(s.rng, s.step)
                 if pad_rows:
                     (loss, _aux), grads = wgrad_fn(s.params, key, xb, row_w)
