@@ -368,7 +368,7 @@ MATRIX = [
      "precision": "bfloat16", "backend": "xla"},
     {"name": "dense_bf16_giant_batch", "arch": "dense", "batch": 131072,
      "precision": "bfloat16", "backend": "pallas", "microbatch": 8192,
-     "chain": 4, "steps": 3},
+     "chain": 4, "steps": 3, "timeout": 900},
     {"name": "dense_high_pallas", "arch": "dense", "batch": 4096,
      "precision": "high", "backend": "pallas"},
     {"name": "dense_high_xla", "arch": "dense", "batch": 4096,
@@ -443,12 +443,13 @@ def run_matrix(args) -> None:
         # RPC and the subprocess blocks forever in device_get — the retry
         # hits the (process-independent) remote compile cache, so a second
         # attempt is cheap and usually lands
+        cfg_timeout = spec.get("timeout", args.config_timeout)
         for attempt in range(2):
             entry.pop("error", None)
             try:
                 proc = subprocess.run(
                     _single_cmd(spec, args), capture_output=True, text=True,
-                    timeout=args.config_timeout, cwd=Path(__file__).parent)
+                    timeout=cfg_timeout, cwd=Path(__file__).parent)
                 line = proc.stdout.strip().splitlines()[-1] if \
                     proc.stdout.strip() else ""
                 if proc.returncode != 0 or not line.startswith("{"):
@@ -468,7 +469,7 @@ def run_matrix(args) -> None:
                         / V5E_BF16_PEAK, 3)
                 break
             except subprocess.TimeoutExpired:
-                entry["error"] = (f"timeout after {args.config_timeout}s"
+                entry["error"] = (f"timeout after {cfg_timeout}s"
                                   f" (attempt {attempt + 1})")
             except Exception as e:  # noqa: BLE001 — keep the headline
                 entry["error"] = str(e)[:300]

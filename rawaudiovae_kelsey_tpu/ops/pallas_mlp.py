@@ -935,15 +935,32 @@ BWD_FUSION = "auto"
 def _fusion(dtype) -> str:
     if BWD_FUSION != "auto":
         return BWD_FUSION
-    return "full" if _ambient_passes(dtype) == 3 else "split"
+    if _ambient_passes(dtype) == 3:
+        return "full"
+    if jnp.dtype(dtype) == jnp.float32:
+        # f32 single-pass tiers ("highest" 6-pass / plain "float32"): the
+        # fused kernels' f32 accumulator+operand residency forces 64-row
+        # batch tiles under the scoped budget and measured 859 k frames/s
+        # at `highest` — BELOW the round-2 primitive composition's 951 k,
+        # which runs 128-row tiles and already sits at the 6-pass
+        # roofline.  Keep the primitives there.
+        return "primitive"
+    return "split"
 
 
 def _pallas_encode_bwd(res, cts):
     params, x, h = res
     dmu, dlogvar = cts
-    if _fusion(x.dtype) == "full":
+    mode = _fusion(x.dtype)
+    if mode == "full":
         dw1, db1, dw21, db21, dw22, db22 = enc_bwd_full(
             x, h, dmu, dlogvar, params["fc21"]["w"], params["fc22"]["w"])
+    elif mode == "primitive":
+        dh0 = matmul_nt2_mask(dmu, params["fc21"]["w"],
+                              dlogvar, params["fc22"]["w"], h)
+        dw1, db1 = grad_accum(x, dh0)
+        dw21, db21 = grad_accum(h, dmu)
+        dw22, db22 = grad_accum(h, dlogvar)
     else:
         # split fusion: dh stays in-register inside enc_bwd_dw1 and both
         # head grads share one read of h (grad_accum2)
@@ -995,9 +1012,15 @@ def _pallas_decode_bwd(res, dy):
     # tanh derivative: cheap elementwise, XLA fuses it into the loss
     # backward's (recon − x) pass
     da = (dy * (1.0 - y * y)).astype(dy.dtype)
-    if _fusion(da.dtype) == "full":
+    mode = _fusion(da.dtype)
+    if mode == "full":
         dz, dw3, db3, dw4, db4 = dec_bwd_full(
             da, h3, z, params["fc4"]["w"], params["fc3"]["w"])
+    elif mode == "primitive":
+        dh3 = matmul_nt_mask(da, params["fc4"]["w"], h3)
+        dz = matmul_nt(dh3, params["fc3"]["w"])
+        dw4, db4 = grad_accum(h3, da)
+        dw3, db3 = grad_accum(z, dh3)
     else:
         dz, dw3, db3 = dec_bwd_fused(da, h3, z,
                                      params["fc4"]["w"], params["fc3"]["w"])
