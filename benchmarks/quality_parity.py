@@ -87,7 +87,8 @@ def frame_matrix(corpus: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.ascontiguousarray(tf), np.ascontiguousarray(hf)
 
 
-def run_torch(steps: int, eval_every: int, log_every: int) -> dict:
+def run_torch(steps: int, eval_every: int, log_every: int,
+              order_seed: int = 1) -> dict:
     import torch
 
     torch.manual_seed(0)
@@ -120,7 +121,7 @@ def run_torch(steps: int, eval_every: int, log_every: int) -> dict:
     xh = torch.from_numpy(held_f)
     model = RefVAE()
     optimizer = torch.optim.Adam(model.parameters(), lr=LR)
-    order_rng = np.random.default_rng(1)
+    order_rng = np.random.default_rng(order_seed)
 
     def eval_mse():
         with torch.no_grad():
@@ -167,7 +168,7 @@ def run_torch(steps: int, eval_every: int, log_every: int) -> dict:
 
 
 def run_jax(steps: int, eval_every: int, log_every: int,
-            precision: str) -> dict:
+            precision: str, order_seed: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -198,22 +199,24 @@ def run_jax(steps: int, eval_every: int, log_every: int,
     state = TrainState.create(params, opt.init(params), seed=0)
     one_step = build_train_step(model, cfg, opt, donate=True)
 
+    # frames/held passed as ARGUMENTS, not closed over: a closed-over
+    # device array is embedded in the lowered module and the f32 matrix
+    # (405 MB) blows the axon compile-RPC body limit (HTTP 413)
     @jax.jit
-    def run_chunk(state, idx):
+    def run_chunk(state, idx, frames):
         def body(s, ix):
-            s, m = one_step(s, dev_frames[ix])
+            s, m = one_step(s, frames[ix])
             return s, m["loss"]
         return jax.lax.scan(body, state, idx)
 
     @jax.jit
-    def eval_mse(params):
-        p = params
-        mu, _ = model.encode(p, dev_held)
-        recon = model.decode(p, mu)
-        d = recon.astype(jnp.float32) - dev_held.astype(jnp.float32)
+    def eval_mse(params, held):
+        mu, _ = model.encode(params, held)
+        recon = model.decode(params, mu)
+        d = recon.astype(jnp.float32) - held.astype(jnp.float32)
         return jnp.mean(d * d)
 
-    order_rng = np.random.default_rng(1)
+    order_rng = np.random.default_rng(order_seed)
     loss_curve, eval_curve = [], []
     step = 0
     t0 = time.time()
@@ -229,14 +232,14 @@ def run_jax(steps: int, eval_every: int, log_every: int,
         take = min(chunk, steps - step, len(pending_perm))
         idx = jnp.asarray(np.stack(pending_perm[:take]))
         del pending_perm[:take]
-        state, losses = run_chunk(state, idx)
+        state, losses = run_chunk(state, idx, dev_frames)
         losses = np.asarray(jax.device_get(losses), np.float64)
         for j in range(take):
             if (step + j + 1) % log_every == 0:
                 loss_curve.append([step + j + 1, float(losses[j])])
         step += take
         if step % eval_every == 0 or step >= steps:
-            m = float(jax.device_get(eval_mse(state.params)))
+            m = float(jax.device_get(eval_mse(state.params, dev_held)))
             eval_curve.append([step, m])
             print(f"jax[{precision}] step {step}/{steps} "
                   f"loss={float(losses[-1]):.6f} eval_mse={m:.6f} "
@@ -256,13 +259,16 @@ def main() -> None:
     ap.add_argument("--precision", type=str, default="bfloat16")
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--order-seed", type=int, default=1,
+                    help="data-order RNG seed (trajectory-noise probe)")
     ap.add_argument("--out", type=str, required=True)
     args = ap.parse_args()
     if args.side == "torch":
-        res = run_torch(args.steps, args.eval_every, args.log_every)
+        res = run_torch(args.steps, args.eval_every, args.log_every,
+                        order_seed=args.order_seed)
     else:
         res = run_jax(args.steps, args.eval_every, args.log_every,
-                      args.precision)
+                      args.precision, order_seed=args.order_seed)
     Path(args.out).write_text(json.dumps(res))
     print(f"wrote {args.out}: final_eval_mse={res['final_eval_mse']:.6f}")
 
