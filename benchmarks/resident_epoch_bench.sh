@@ -6,19 +6,24 @@
 # Round-2 figure: 2.81 M frames/s warm with 3 compiles (k=21/20/19);
 # round 3 targets one compile + >=3.5 M via the fixed-group masked-tail
 # formulation and the per-epoch whole-matrix shuffle.
+# DURATION (seconds of synthetic corpus, default 120) and EPOCHS (default
+# 60) probe the shuffle-tax amortization: per-epoch device work grows with
+# the corpus while the permutation+gather overhead grows slower.
 set -e
 D=$(mktemp -d)
-python - "$D" <<'EOF'
-import sys, pathlib
+DURATION=${DURATION:-120} EPOCHS=${EPOCHS:-60} \
+RESIDENT_SHUFFLE=${RESIDENT_SHUFFLE:-global} python - "$D" <<'EOF'
+import os, sys, pathlib
 import numpy as np
 sys.path.insert(0, ".")
 from rawaudiovae_kelsey_tpu.io import write_wav
 d = pathlib.Path(sys.argv[1])
 (d/"audio").mkdir(); (d/"test_audio").mkdir()
 sr = 44100
+dur = int(os.environ.get("DURATION", "120"))
 rng = np.random.default_rng(0)
-t = np.arange(120*sr)/sr
-sig = np.zeros(120*sr, np.float32)
+t = np.arange(dur*sr)/sr
+sig = np.zeros(dur*sr, np.float32)
 for f in (220., 440., 587., 880.):
     sig += (0.2*np.sin(2*np.pi*f*t)).astype(np.float32)
 sig += rng.normal(0, .01, sig.shape).astype(np.float32)
@@ -38,7 +43,7 @@ latent_dim = 256
 n_units = 2048
 kl_beta = 0.0001
 [training]
-epochs = 60
+epochs = {os.environ.get("EPOCHS", "60")}
 learning_rate = 0.0001
 batch_size = 4096
 checkpoint_interval = 20
@@ -48,6 +53,7 @@ description = resident_bench
 [tpu]
 precision = bfloat16
 device_resident = always
+resident_shuffle = {os.environ.get("RESIDENT_SHUFFLE", "global")}
 """)
 print(d)
 EOF

@@ -159,7 +159,12 @@ class TPUConfig:
     # across shards each epoch (two-pass all_to_all block-transpose shuffle
     # riding ICI, parallel/resident.py); "local" permutes only within each
     # chip's shard (the locality-restricted shuffle sharded loaders use).
-    resident_shuffle: str = "global"  # global | local
+    # "block" (single-device epoch trainer, frames layout) shuffles in
+    # contiguous multi-row blocks so the per-epoch gather runs at DMA
+    # bandwidth instead of the descriptor-bound row-gather path — a
+    # perf-first tradeoff documented in DIVERGENCES.md; on a mesh it
+    # behaves like "global".
+    resident_shuffle: str = "global"  # global | local | block
     # Reparameterization sampler: "threefry" (jax.random, reproducible
     # across platforms — the default contract) or "tpu_prng" (the Pallas
     # on-chip PRNG kernel, ops/rng.py: eps never touches HBM; stream is
@@ -227,7 +232,7 @@ class Config:
             raise ValueError(
                 f"unknown checkpoint_format {self.tpu.checkpoint_format!r}"
             )
-        if self.tpu.resident_shuffle not in ("global", "local"):
+        if self.tpu.resident_shuffle not in ("global", "local", "block"):
             raise ValueError(
                 f"unknown resident_shuffle {self.tpu.resident_shuffle!r}"
             )

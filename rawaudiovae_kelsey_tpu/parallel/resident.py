@@ -79,6 +79,18 @@ def put_resident(corpus: np.ndarray, cfg: Config, layout: str) -> jax.Array:
     return jax.device_put(jnp.asarray(padded, dtype))
 
 
+def pick_block_rows(n_frames: int, n_batches: int, batch: int) -> int:
+    """Block height for the block-granular resident shuffle: the SMALLEST
+    power-of-two divisor of ``batch`` (≥32) that leaves enough whole blocks
+    to fill every batch — 32 rows of a 1024-sample frame is ~64 KB
+    contiguous per DMA descriptor, already bandwidth-bound, and smaller
+    blocks shuffle finer.  Returns 1 (row granularity) when none fits."""
+    for blk in (32, 64, 128, 256, 512):
+        if batch % blk == 0 and (n_frames // blk) * blk >= n_batches * batch:
+            return blk
+    return 1
+
+
 def build_resident_epoch(
     model: ModelDef,
     cfg: Config,
@@ -97,6 +109,24 @@ def build_resident_epoch(
     round-2 static-``k`` formulation recompiled per distinct group size
     (~30 s each warm, minutes cold).  Callers slice ``losses[:k]``.
 
+    All ``group_k`` epoch permutations are drawn up front in ONE vmapped
+    ``jax.random.permutation`` (late round 3): a batched sort fills the VPU
+    sublanes that ``group_k`` serial per-epoch sorts leave idle — measured
+    3.6 → 1.5 ms per epoch at 41k frames / G=20 — and vmap preserves
+    per-key results, so the shuffle order is bit-identical to the previous
+    per-epoch formulation.  Because the masked tail's permutations are
+    computed regardless, callers should size ``group_k`` near their typical
+    active ``k`` (the epoch driver caps it at the checkpoint cadence).
+
+    ``cfg.tpu.resident_shuffle = "block"`` (frames layout only) trades exact
+    row-uniform shuffling for block-granular shuffling: frames move in
+    contiguous :func:`pick_block_rows`-row blocks, so the per-epoch shuffle
+    gather runs contiguous-DMA at HBM bandwidth instead of the scattered
+    row-gather path.  Consecutive overlapping frames (which are ~87.5%
+    redundant neighbors at seg 1024 / hop 128 anyway) then stay together
+    within a block; the last ``n_frames mod block`` frames never train.
+    Documented in DIVERGENCES.md.
+
     ``data`` is the array from :func:`put_resident` in the matching layout.
     """
     seg = model.segment_length
@@ -108,6 +138,10 @@ def build_resident_epoch(
         raise ValueError(
             f"corpus has {n_frames} frames < one batch of {batch}"
         )
+    block_rows = 1
+    if cfg.tpu.resident_shuffle == "block" and layout == "frames":
+        block_rows = pick_block_rows(n_frames, n_batches, batch)
+    n_shuffle = n_frames // block_rows    # shuffle units per epoch
     loss_fn = make_loss_fn(model, cfg)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     prec = _matmul_precision(cfg.tpu.precision)
@@ -129,20 +163,25 @@ def build_resident_epoch(
         )
         return new_state, loss.astype(jnp.float32)
 
-    def _one_epoch(state: TrainState, data: jax.Array, epoch):
-        perm_key = jax.random.fold_in(
-            jax.random.fold_in(state.rng, 0x5EED), epoch
-        )
-        sel = jax.random.permutation(perm_key, n_frames)[: n_batches * batch]
+    def _one_epoch(state: TrainState, data: jax.Array, sel):
         if layout == "frames":
-            # ONE whole-matrix gather per epoch at HBM bandwidth, then the
-            # step scan consumes contiguous slices — a per-batch row gather
-            # inside the scan serializes with the train step and measured
-            # ~0.5 ms/batch of dead time (docs/PERF.md).  Batches are
-            # bit-identical to gathering rows per step: data[sel][a:b] ==
-            # data[sel[a:b]].  Transient HBM cost: one extra frame-matrix
-            # copy (accounted by choose_layout).
-            shuffled = data[sel].reshape(n_batches, batch, seg)
+            if block_rows > 1:
+                # block-granular shuffle: gather whole contiguous blocks —
+                # the DMA engine streams ``block_rows`` rows per descriptor
+                # instead of one, so this runs at copy bandwidth where the
+                # row gather is descriptor-bound
+                blocks = data[: n_shuffle * block_rows].reshape(
+                    n_shuffle, block_rows, seg)
+                shuffled = blocks[sel].reshape(n_batches, batch, seg)
+            else:
+                # ONE whole-matrix gather per epoch, then the step scan
+                # consumes contiguous slices — a per-batch row gather
+                # inside the scan serializes with the train step and
+                # measured ~0.5 ms/batch of dead time (docs/PERF.md).
+                # Batches are bit-identical to gathering rows per step:
+                # data[sel][a:b] == data[sel[a:b]].  Transient HBM cost:
+                # one extra frame-matrix copy (accounted by choose_layout).
+                shuffled = data[sel].reshape(n_batches, batch, seg)
             return jax.lax.scan(body, state, shuffled)
 
         starts = sel.reshape(n_batches, batch)
@@ -154,6 +193,8 @@ def build_resident_epoch(
 
         return jax.lax.scan(corpus_body, state, starts)
 
+    used = n_batches * batch // block_rows  # shuffle units consumed per epoch
+
     # Up to group_k epochs per dispatch: a small-corpus epoch computes in
     # ~15 ms, below one host-link round trip, so per-epoch dispatches are
     # latency-bound — grouping scans the epochs on-device and returns the
@@ -162,11 +203,21 @@ def build_resident_epoch(
     def run_epochs(state: TrainState, data: jax.Array, epoch0, k: int = 1):
         with jax.default_matmul_precision(prec):
             epoch0 = jnp.asarray(epoch0)
+            # all group epochs' permutations in one BATCHED sort (see
+            # docstring); vmap preserves per-key results so row order
+            # matches the per-epoch jax.random.permutation exactly
+            base = jax.random.fold_in(state.rng, 0x5EED)
+            keys = jax.vmap(
+                lambda e: jax.random.fold_in(base, e)
+            )(epoch0 + jnp.arange(group_k))
+            perms = jax.vmap(
+                lambda kk: jax.random.permutation(kk, n_shuffle)[:used]
+            )(keys)
 
             def eb(s, i):
                 return jax.lax.cond(
                     i < k,
-                    lambda ss: _one_epoch(ss, data, epoch0 + i),
+                    lambda ss: _one_epoch(ss, data, perms[i]),
                     lambda ss: (ss, jnp.full((n_batches,), jnp.nan,
                                              jnp.float32)),
                     s,
@@ -266,7 +317,9 @@ def build_resident_epoch_sharded(
               if cfg.training.loss_reduction.split()[0] == "sum"
               else jax.lax.pmean)
 
-    global_shuffle = cfg.tpu.resident_shuffle == "global"
+    # "block" is a single-device formulation; on a mesh it keeps the exact
+    # global two-pass shuffle (schema.py comment)
+    global_shuffle = cfg.tpu.resident_shuffle in ("global", "block")
 
     def per_shard(state: TrainState, frames_local, epoch):
         shard = jax.lax.axis_index(DATA_AXIS)

@@ -256,8 +256,16 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     # compiled group_k-epoch graph with a dynamic active count (short
     # groups at checkpoint boundaries mask their tail) — exactly ONE
     # compile per config, where static per-k graphs cost ~30 s-to-minutes
-    # for EACH distinct group length
+    # for EACH distinct group length.  Capped at the checkpoint/histogram
+    # cadence: groups break there anyway, and the batched up-front
+    # permutation sort (parallel/resident.py) pays for ALL group_k rows
+    # every dispatch, so a graph much larger than the typical active k
+    # would sort permutations the masked tail never uses.
     group_k = min(64, max(1, cfg.training.epochs))
+    if cfg.training.checkpoint_interval:
+        group_k = min(group_k, cfg.training.checkpoint_interval + 1)
+    if cfg.tpu.histogram_interval:
+        group_k = min(group_k, cfg.tpu.histogram_interval + 1)
     if ctx.mesh is not None:
         # mesh-sharded resident: frame matrix sharded over 'data', one pmean
         # per step, whole epochs on-chip across the mesh

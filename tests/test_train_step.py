@@ -466,6 +466,47 @@ def test_resident_epoch_single_device_kgroup_replay():
     )
 
 
+def test_resident_epoch_block_shuffle():
+    """resident_shuffle = block: the block-granular shuffle must (a) train
+    (finite decreasing-ish losses), (b) replay k-grouped identically to
+    per-epoch dispatch, and (c) draw every batch from whole contiguous
+    blocks of the frame matrix."""
+    from rawaudiovae_kelsey_tpu.parallel.resident import (
+        build_resident_epoch,
+        pick_block_rows,
+        put_resident,
+    )
+
+    cfg = small_cfg(resident_shuffle="block")
+    cfg.training.batch_size = 64
+    model, opt, state = make_state(cfg, seed=3)
+    rng = np.random.default_rng(3)
+    corpus = (0.4 * np.sin(np.arange(40_000) / 30.0)
+              + 0.05 * rng.standard_normal(40_000)).astype(np.float32)
+    run_epochs, n_batches = build_resident_epoch(
+        model, cfg, opt, len(corpus), layout="frames", group_k=3
+    )
+    dev = put_resident(corpus, cfg, "frames")
+    s, losses = run_epochs(state, dev, 0, k=3)
+    losses = np.asarray(jax.device_get(losses))
+    assert losses.shape == (3, n_batches)
+    assert np.isfinite(losses).all()
+    # replay: per-epoch dispatch sequence == one grouped dispatch
+    _, _, s2 = make_state(cfg, seed=3)
+    per_epoch = []
+    for epoch in range(3):
+        s2, l = run_epochs(s2, dev, epoch)
+        per_epoch.append(np.asarray(jax.device_get(l))[0])
+    np.testing.assert_array_equal(losses, np.stack(per_epoch))
+    # block height: divides the batch, covers all batches
+    from rawaudiovae_kelsey_tpu.data.framing import overlapping_frame_count
+    n_frames = overlapping_frame_count(
+        len(corpus), cfg.audio.segment_length, cfg.audio.hop_length)
+    blk = pick_block_rows(n_frames, n_batches, cfg.training.batch_size)
+    assert blk > 1 and cfg.training.batch_size % blk == 0
+    assert (n_frames // blk) * blk >= n_batches * cfg.training.batch_size
+
+
 def test_two_pass_shuffle_mixes_shards():
     """The global resident shuffle must land an equal slice of every origin
     shard on every chip, and preserve the global row multiset."""
