@@ -20,6 +20,14 @@ Decision rule (CLAUDE.md round-3 notes): wire into pallas_linear's VJP only
 if the fused pair beats the XLA-dot backward by >3% at the deep variant's
 big-layer shapes; otherwise document why recompute-fusion cannot win when
 the cotangent's operands are as large as the cotangent itself.
+
+VERDICT (measured round 3, v5e, chain-50 in-jit dependency chain): the
+fused pair lands at 98–100% of the XLA-dot backward at EVERY deep layer
+shape (4096²: 2.61 vs 2.60 ms; 4096×2048: 1.79 vs 1.78; 2048×1024:
+1.19 vs 1.17; 1024×512: 1.04 vs 1.03) — XLA fuses the activation
+cotangent into the dot prologues already, and the dots' mandatory x/W/dy
+HBM streams dominate the ~3·|da| the recompute saves.  Retired; the
+deep-variant backward stays on XLA dots (docs/PERF.md).
 """
 
 from __future__ import annotations
@@ -175,17 +183,39 @@ def fused_bwd(x, y, dy, w, act="relu"):
     return dx, dw, db
 
 
-def _time(fn, *args, chain=50, windows=3):
-    out = fn(*args)
+def _time_chained(bwd_fn, x, y, dy, w, act, chain=50, windows=3):
+    """Device time per backward via a TRUE dependency chain inside one jit:
+    independent repeated calls with large outputs do NOT amortize the
+    ~28 ms tunnel dispatch (measured: a bare 4096^3 matmul reads 4 TF that
+    way vs 77 TF chained).  Each step's dy consumes the previous step's
+    full dx/dw/db scaled by 1e-30 — forces complete materialization,
+    serializes the chain, perturbs nothing measurably."""
+
+    @jax.jit
+    def run(x, y, dy, w):
+        # operands as ARGUMENTS, not closure constants: constants embed in
+        # the executable and re-ship through the tunnel per call
+        def step(dyc, _):
+            dx, dw, db = bwd_fn(x, y, dyc, w, act)
+            dep = (dx * 1e-30 if dx.shape == dy.shape  # non-square probes
+                   else dx.sum() * 1e-30)
+            nxt = (dy + dep + (dw.sum() + db.sum()) * 1e-30).astype(dy.dtype)
+            return nxt, ()
+        out, _ = jax.lax.scan(step, dy, None, length=chain)
+        # return ONE element: device_get of the full (B, n) carry drags
+        # ~32 MB back through the ~18 MB/s tunnel INSIDE the timed window
+        # (measured: it turned a 2.7 ms backward into "36 ms")
+        return out[0, :1]
+
+    out = run(x, y, dy, w)
     jax.block_until_ready(out)
-    float(jax.device_get(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    float(jax.device_get(out).ravel()[0])
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
-        for _ in range(chain):
-            out = fn(*args)
+        out = run(x, y, dy, w)
         jax.block_until_ready(out)
-        float(jax.device_get(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        float(jax.device_get(out).ravel()[0])
         best = min(best, (time.perf_counter() - t0) / chain)
     return best
 
@@ -220,10 +250,19 @@ def main():
         assert err < 2e-2, (name, err)
 
     flops = 2 * args.batch * args.k * args.n * 2  # dx + dw dots
-    t_xla = _time(lambda: xla_bwd(x, y, dy, w, args.act))
-    t_fused = _time(lambda: fused_bwd(x, y, dy, w, args.act))
-    t_dw = _time(lambda: dw_fused(x, y, dy, args.act))
-    t_dx = _time(lambda: dx_fused(y, dy, w, args.act))
+    t_xla = _time_chained(xla_bwd, x, y, dy, w, args.act)
+    t_fused = _time_chained(fused_bwd, x, y, dy, w, args.act)
+
+    def only_dw(x, y, dyc, w, act):
+        dw, db = dw_fused(x, y, dyc, act)
+        return jnp.zeros((1, 1), dyc.dtype), dw, db
+
+    def only_dx(x, y, dyc, w, act):
+        dx = dx_fused(y, dyc, w, act)
+        return dx, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)
+
+    t_dw = _time_chained(only_dw, x, y, dy, w, args.act)
+    t_dx = _time_chained(only_dx, x, y, dy, w, args.act)
     print(f"shape B={args.batch} k={args.k} n={args.n} act={args.act} "
           f"dtype={args.dtype}")
     print(f"xla   bwd: {t_xla*1e3:8.3f} ms  {flops/t_xla/1e12:6.1f} TF")
