@@ -191,3 +191,26 @@ def test_backend_best_accepted_and_resolved():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown backend"):
         cfg.validate()
+
+
+SHIPPED_CONFIGS = sorted(
+    (Path(__file__).resolve().parent.parent / "configs").glob("*.ini")
+)
+
+
+@pytest.mark.parametrize("ini", SHIPPED_CONFIGS, ids=lambda p: p.name)
+def test_shipped_configs_parse_and_validate(ini, tmp_path):
+    """Every INI in configs/ must parse, substitute a real datapath, pass
+    validate(), and resolve its backend — catches recipe rot when the
+    config surface evolves (e.g. new [tpu] keys)."""
+    from rawaudiovae_kelsey_tpu.models.registry import _resolve_backend
+
+    text = ini.read_text()
+    for ph in ("[your_dataset_path]", "[your_erokia_scale_dataset_path]"):
+        text = text.replace(ph, str(tmp_path))
+    p = tmp_path / ini.name
+    p.write_text(text)
+    cfg = load_config(p)
+    cfg.validate()
+    assert cfg.training.batch_size > 0
+    assert _resolve_backend(cfg, cfg.vae.arch) in ("xla", "pallas")
