@@ -9,9 +9,11 @@
 # DURATION (seconds of synthetic corpus, default 120) and EPOCHS (default
 # 60) probe the shuffle-tax amortization: per-epoch device work grows with
 # the corpus while the permutation+gather overhead grows slower.
+# RNG=tpu_prng + RESIDENT_SHUFFLE=block reproduces the configs/perf_bf16.ini
+# composite.
 set -e
 D=$(mktemp -d)
-DURATION=${DURATION:-120} EPOCHS=${EPOCHS:-60} \
+DURATION=${DURATION:-120} EPOCHS=${EPOCHS:-60} RNG=${RNG:-threefry} \
 RESIDENT_SHUFFLE=${RESIDENT_SHUFFLE:-global} python - "$D" <<'EOF'
 import os, sys, pathlib
 import numpy as np
@@ -54,6 +56,7 @@ description = resident_bench
 precision = bfloat16
 device_resident = always
 resident_shuffle = {os.environ.get("RESIDENT_SHUFFLE", "global")}
+rng = {os.environ.get("RNG", "threefry")}
 """)
 print(d)
 EOF
