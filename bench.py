@@ -344,14 +344,20 @@ def parity_check(batch_size: int, precision: str) -> float:
     return abs(losses["pallas"] - losses["xla"])
 
 
-def resolve_best(metric: str, precision: str) -> str:
+def resolve_best(metric: str, precision: str, arch: str = "dense") -> str:
     # Measured winner per tier (docs/PERF.md): since the round-3 fused
     # backward (dh/dh3 in-register, dx dead-code-eliminated like XLA's
-    # autodiff), Pallas leads every tier it implements — bf16 4.65 vs
-    # 4.52 M frames/s, "high" 1.744 vs 1.733 M, "highest" +11 %, and the
-    # synth/int8 decode paths exist only in Pallas.  Plain fp32 (single
-    # bf16 pass) keeps XLA — unmeasured corner with no production use.
-    if metric == "synth" or precision in ("bfloat16", "high", "highest"):
+    # autodiff), Pallas leads every DENSE tier it implements — bf16 4.65
+    # vs 4.52 M frames/s, "high" 1.744 vs 1.733 M, "highest" +11 %, and
+    # the synth/int8 decode paths exist only in Pallas.  deep/conv1d keep
+    # XLA (whole-graph scheduling wins — 0.393 vs 0.358 M deep; conv
+    # sweep).  Plain fp32 (single bf16 pass) keeps XLA — unmeasured
+    # corner with no production use.  Mirrors registry._resolve_backend.
+    if metric == "synth":
+        return "pallas"
+    if arch != "dense":
+        return "xla"
+    if precision in ("bfloat16", "high", "highest"):
         return "pallas"
     return "xla"
 
@@ -503,12 +509,30 @@ def run_matrix(args) -> None:
     if skipped:
         result["skipped"] = skipped
     if not args.no_parity:
-        try:
-            result["parity"] = {
-                "pallas_vs_xla_loss_delta": parity_check(4096, "bfloat16"),
-            }
-        except Exception as e:  # noqa: BLE001
-            result["parity"] = {"error": str(e)[:200]}
+        # subprocess + timeout like every other device-touching stage: a
+        # lost tunnel RPC in an in-process parity_check would hang the
+        # parent AFTER all measurements completed and the driver would
+        # never see the headline line
+        parity_cmd = [sys.executable, str(Path(__file__).resolve()),
+                      "--parity-only"]
+        parity = {"error": "not run"}
+        for attempt in range(2):
+            try:
+                proc = subprocess.run(
+                    parity_cmd, capture_output=True, text=True,
+                    timeout=args.config_timeout, cwd=Path(__file__).parent)
+                line = proc.stdout.strip().splitlines()[-1] if \
+                    proc.stdout.strip() else ""
+                if proc.returncode == 0 and line.startswith("{"):
+                    parity = json.loads(line)
+                    break
+                parity = {"error": (proc.stderr or proc.stdout)[-200:]}
+            except subprocess.TimeoutExpired:
+                parity = {"error": f"timeout after {args.config_timeout}s"
+                                   f" (attempt {attempt + 1})"}
+            except Exception as e:  # noqa: BLE001 — keep the headline
+                parity = {"error": str(e)[:200]}
+        result["parity"] = parity
     try:
         side.write_text(json.dumps(result, indent=1))
     except OSError:
@@ -517,7 +541,7 @@ def run_matrix(args) -> None:
 
 
 def run_single(args) -> None:
-    backend = (resolve_best(args.metric, args.precision)
+    backend = (resolve_best(args.metric, args.precision, args.arch)
                if args.backend == "best" else args.backend)
     if args.metric == "synth":
         rtf, synth_chain = bench_synth(args.batch, args.steps,
@@ -538,7 +562,10 @@ def run_single(args) -> None:
     fps = bench_jax(args.arch, args.batch, args.steps, args.precision,
                     backend, microbatch=args.microbatch, chain=args.chain,
                     windows=args.windows)
-    baseline = torch_baseline(args.batch, skip_measure=args.no_torch)
+    # the torch-CPU denominator is the dense 1024/2048/256 reference model
+    # — a deep/conv1d rate divided by it would be a meaningless ratio
+    baseline = (torch_baseline(args.batch, skip_measure=args.no_torch)
+                if args.arch == "dense" else None)
     result = {
         "metric": "train_frames_per_sec",
         "value": round(fps, 1),
@@ -552,13 +579,18 @@ def run_single(args) -> None:
                 if args.precision == "bfloat16" else None),
     }
     if not args.no_parity:
-        try:
-            result["parity"] = {
-                "pallas_vs_xla_loss_delta": parity_check(args.batch,
-                                                         args.precision),
-            }
-        except Exception as e:  # noqa: BLE001
-            result["parity"] = {"error": str(e)[:200]}
+        if args.arch != "dense":
+            # parity_check attests the DENSE pallas-vs-xla step; reporting
+            # it under a deep/conv1d line would mislabel the evidence
+            result["parity"] = {"skipped": "dense-only attestation"}
+        else:
+            try:
+                result["parity"] = {
+                    "pallas_vs_xla_loss_delta": parity_check(args.batch,
+                                                             args.precision),
+                }
+            except Exception as e:  # noqa: BLE001
+                result["parity"] = {"error": str(e)[:200]}
     print(json.dumps(result))
 
 
@@ -566,6 +598,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--single", action="store_true",
                     help="one configuration instead of the default matrix")
+    ap.add_argument("--parity-only", action="store_true",
+                    help="print the pallas-vs-xla loss-delta JSON and exit "
+                         "(run_matrix's subprocess-isolated attestation)")
     ap.add_argument("--arch", type=str, default="dense",
                     choices=["dense", "deep", "conv1d"])
     ap.add_argument("--steps", type=int, default=10,
@@ -592,6 +627,12 @@ def main() -> None:
     ap.add_argument("--config-timeout", type=float, default=420.0,
                     help="matrix mode: hard per-config subprocess timeout")
     args = ap.parse_args()
+    if args.parity_only:
+        print(json.dumps({
+            "pallas_vs_xla_loss_delta": parity_check(args.batch,
+                                                     args.precision),
+        }))
+        return
     # any targeting flag implies single-config mode — `bench.py --backend
     # pallas` should measure that config, not the whole matrix
     targeted = (args.single or args.metric == "synth"

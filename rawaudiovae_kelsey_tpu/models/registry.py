@@ -52,14 +52,18 @@ def _parse_int_list(s: str, default):
 
 
 def _resolve_backend(cfg: Config, arch: str) -> str:
-    """``best`` → the measured winner per family (docs/PERF.md): the
-    fused Pallas tier for the dense model on a real TPU (it leads every
-    precision tier since round 3), XLA for deep/conv1d and for CPU runs
-    (interpret-mode kernels exist for correctness, not speed)."""
+    """``best`` → the measured winner per family and tier (docs/PERF.md):
+    the fused Pallas tier for the dense model on a real TPU at the three
+    measured precisions (it leads bfloat16/high/highest since round 3),
+    XLA for deep/conv1d, for plain float32 (unmeasured corner — mirrors
+    bench.resolve_best), and for CPU runs (interpret-mode kernels exist
+    for correctness, not speed)."""
     backend = cfg.tpu.backend
     if backend != "best":
         return backend
     if arch != "dense":
+        return "xla"
+    if cfg.tpu.precision not in ("bfloat16", "high", "highest"):
         return "xla"
     platform = jax.devices()[0].platform.lower()
     on_tpu = "tpu" in platform or "axon" in platform

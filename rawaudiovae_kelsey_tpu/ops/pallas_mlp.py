@@ -952,13 +952,14 @@ def _pallas_encode_bwd(res, cts):
     params, x, h = res
     dmu, dlogvar = cts
     mode = _fusion(x.dtype)
+    dh = None
     if mode == "full":
         dw1, db1, dw21, db21, dw22, db22 = enc_bwd_full(
             x, h, dmu, dlogvar, params["fc21"]["w"], params["fc22"]["w"])
     elif mode == "primitive":
-        dh0 = matmul_nt2_mask(dmu, params["fc21"]["w"],
-                              dlogvar, params["fc22"]["w"], h)
-        dw1, db1 = grad_accum(x, dh0)
+        dh = matmul_nt2_mask(dmu, params["fc21"]["w"],
+                             dlogvar, params["fc22"]["w"], h)
+        dw1, db1 = grad_accum(x, dh)
         dw21, db21 = grad_accum(h, dmu)
         dw22, db22 = grad_accum(h, dlogvar)
     else:
@@ -971,9 +972,11 @@ def _pallas_encode_bwd(res, cts):
     # only parameters (every training step), XLA dead-code-eliminates both
     # calls — matching the XLA backend, which never pays the dh@W1ᵀ GEMM
     # (12% of step FLOPs).  Folding dx into the fused kernel would make it
-    # unremovable.
-    dh = matmul_nt2_mask(dmu, params["fc21"]["w"],
-                         dlogvar, params["fc22"]["w"], h)
+    # unremovable.  Primitive mode already materialized dh for dW1 (it is
+    # live regardless), so it is reused there instead of re-emitted.
+    if dh is None:
+        dh = matmul_nt2_mask(dmu, params["fc21"]["w"],
+                             dlogvar, params["fc22"]["w"], h)
     dx = matmul_nt(dh, params["fc1"]["w"])
     dt = params["fc1"]["w"].dtype
     dparams = {

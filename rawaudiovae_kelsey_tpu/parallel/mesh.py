@@ -105,3 +105,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def data_axis_process_contiguous(mesh: Mesh) -> bool:
+    """True iff every process's devices occupy one contiguous run of
+    ``data``-axis indices, i.e. each host's local rows of a
+    ``P(DATA_AXIS)``-sharded array form a single global block.
+
+    ``jax.make_mesh`` may topology-reorder devices on real pods, so this
+    cannot be assumed.  The answer is computed from the GLOBAL device
+    array — identical on every host — so callers can gate a collective
+    path on it without divergence (a per-host check after a collective
+    could deadlock the processes that passed)."""
+    import numpy as np
+
+    axis = list(mesh.axis_names).index(DATA_AXIS)
+    rows: dict[int, set] = {}
+    for idx, dev in np.ndenumerate(mesh.devices):
+        rows.setdefault(dev.process_index, set()).add(idx[axis])
+    return all(max(s) - min(s) + 1 == len(s) for s in rows.values())

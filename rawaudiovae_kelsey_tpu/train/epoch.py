@@ -85,9 +85,14 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     layout = R.choose_layout(n_samples, cfg.audio.segment_length,
                              cfg.audio.hop_length, dtype_bytes,
                              budget * n_shards)
+    # single-controller only: put_frames_sharded device_puts the global
+    # frame matrix, which needs every mesh device addressable.  Multi-host
+    # epoch runs use the host-fed feed (epoch.py multihost branch); the
+    # STREAM trainer is the path with DCN-spanning resident support.
     mesh_ok = (ctx.mesh is None
                or (cfg.tpu.model_parallel <= 1 and layout == "frames"
-                   and batch_size % n_shards == 0))
+                   and batch_size % n_shards == 0
+                   and jax.process_count() == 1))
     use_resident = (
         cfg.tpu.device_resident != "never"
         and layout is not None

@@ -97,6 +97,25 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     multihost_ok = (jax.process_count() == 1
                     or (ctx.mesh is not None
                         and ctx.mesh.shape.get("model", 1) == 1))
+    if multihost_ok and jax.process_count() > 1:
+        # resident streaming needs each host's rows in one contiguous
+        # global block; decided here from the GLOBAL device array (same
+        # answer on every host) so auto can degrade to host-fed instead
+        # of aborting mid-collective (_run_resident keeps a backstop
+        # assertion on the materialized shards)
+        from rawaudiovae_kelsey_tpu.parallel.mesh import (
+            data_axis_process_contiguous,
+        )
+
+        if not data_axis_process_contiguous(ctx.mesh):
+            if cfg.tpu.device_resident == "always":
+                raise ValueError(
+                    "device_resident=always but this mesh's data-axis "
+                    "devices are not process-contiguous; use "
+                    "device_resident=auto (host-fed fallback) or build "
+                    "the mesh in process order"
+                )
+            multihost_ok = False
     if multihost_ok and cfg.tpu.device_resident != "never":
         est = _estimate_stream_frames(dataset, cfg)
         dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
