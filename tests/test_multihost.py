@@ -286,3 +286,45 @@ def test_two_process_resident_stream_matches_host_fed(tmp_path):
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
     assert all("resident mesh=True procs=2" in o for o in outs), outs
     assert any("LOSSES_MATCH n=8" in o for o in outs), outs
+
+
+def test_data_axis_process_contiguity_detection():
+    """The resident-stream gate must detect whether each process's devices
+    tile one contiguous data-axis block (ADVICE r2: jax.make_mesh may
+    topology-reorder devices on real pods).  Exercised on stub meshes so
+    the non-contiguous branch — unreachable with real local devices — is
+    pinned too."""
+    import numpy as np
+
+    from rawaudiovae_kelsey_tpu.parallel.mesh import (
+        data_axis_process_contiguous,
+    )
+
+    class Dev:
+        def __init__(self, proc):
+            self.process_index = proc
+
+    class StubMesh:
+        axis_names = ("data", "model")
+
+        def __init__(self, procs):
+            self.devices = np.array(
+                [[Dev(p)] for p in procs], dtype=object)
+
+    # process blocks in order: contiguous
+    assert data_axis_process_contiguous(StubMesh([0, 0, 1, 1]))
+    # reversed blocks still contiguous per process
+    assert data_axis_process_contiguous(StubMesh([1, 1, 0, 0]))
+    # interleaved: each process's rows are scattered -> NOT contiguous
+    assert not data_axis_process_contiguous(StubMesh([0, 1, 0, 1]))
+    # single process always contiguous
+    assert data_axis_process_contiguous(StubMesh([0, 0, 0, 0]))
+    # model-axis replicas of the same block don't break contiguity
+    class StubMesh2D:
+        axis_names = ("data", "model")
+
+        def __init__(self):
+            self.devices = np.array(
+                [[Dev(0), Dev(0)], [Dev(1), Dev(1)]], dtype=object)
+
+    assert data_axis_process_contiguous(StubMesh2D())
