@@ -1,0 +1,99 @@
+"""Unit tests for the bench harness's pure logic: backend resolution must
+mirror the measured-winner table (docs/PERF.md) and every MATRIX spec must
+build a valid config — so the driver's end-of-round run can't be broken by
+config-surface drift.  No device work here (the TPU paths are exercised by
+the driver)."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_resolve_best_matches_measured_winners(bench):
+    # synth exists only in Pallas
+    assert bench.resolve_best("synth", "bfloat16") == "pallas"
+    # dense: Pallas leads bfloat16/high/highest; plain fp32 keeps XLA
+    for prec in ("bfloat16", "high", "highest"):
+        assert bench.resolve_best("train", prec, "dense") == "pallas"
+    assert bench.resolve_best("train", "float32", "dense") == "xla"
+    # deep/conv1d keep XLA at every tier (whole-graph scheduling wins)
+    for arch in ("deep", "conv1d"):
+        for prec in ("bfloat16", "high", "highest", "float32"):
+            assert bench.resolve_best("train", prec, arch) == "xla"
+
+
+def test_resolve_best_agrees_with_registry(bench):
+    """bench.resolve_best and registry._resolve_backend(backend=best) are
+    two views of the same measured-winner table; on TPU they must agree.
+    (Registry returns xla on CPU runs regardless — platform guard.)"""
+    from rawaudiovae_kelsey_tpu.config import Config
+    from rawaudiovae_kelsey_tpu.models.registry import _resolve_backend
+
+    for arch in ("dense", "deep", "conv1d"):
+        for prec in ("bfloat16", "high", "highest", "float32"):
+            cfg = Config()
+            cfg.vae.arch = arch
+            cfg.tpu.precision = prec
+            cfg.tpu.backend = "best"
+            got = _resolve_backend(cfg, arch)
+            want = bench.resolve_best("train", prec, arch)
+            # the registry additionally forces xla off-TPU; equality is
+            # required exactly when the bench table says xla, and the
+            # registry may only ever DOWNGRADE pallas->xla (CPU guard)
+            if want == "xla":
+                assert got == "xla", (arch, prec)
+            else:
+                assert got in ("pallas", "xla"), (arch, prec)
+
+
+def test_matrix_specs_build_valid_configs(bench):
+    """Every MATRIX entry must produce a validating Config and a
+    subprocess command whose flags argparse accepts."""
+    import argparse
+
+    seen = set()
+    for spec in bench.MATRIX:
+        assert spec["name"] not in seen, f"duplicate {spec['name']}"
+        seen.add(spec["name"])
+        if spec.get("metric") != "synth":
+            cfg = bench._build_cfg(spec["arch"], spec["batch"],
+                                   spec["precision"],
+                                   spec.get("backend", "pallas"),
+                                   spec.get("microbatch", 0))
+            cfg.validate()
+        args = argparse.Namespace(chain=100, steps=10, windows=3)
+        cmd = bench._single_cmd(spec, args)
+        assert "--single" in cmd and "--no-parity" in cmd \
+            and "--no-torch" in cmd
+        # flags must be consumable by bench's own parser (drop argv[0:2])
+        assert all(isinstance(c, str) for c in cmd[1:])
+
+
+def test_matrix_covers_baseline_configs(bench):
+    """The matrix must keep covering every BASELINE.json headline family:
+    dense (incl. giant batch), precision tiers, deep, conv1d, synth."""
+    names = {s["name"] for s in bench.MATRIX}
+    for needle in ("dense_bf16_pallas", "dense_bf16_xla",
+                   "dense_bf16_giant_batch", "dense_high_pallas",
+                   "dense_high_xla", "dense_highest_pallas",
+                   "dense_highest_xla", "deep_bf16_xla", "conv1d_bf16_xla",
+                   "synth_bf16", "synth_int8"):
+        assert needle in names, needle
+
+
+def test_flops_per_frame_positive(bench):
+    for arch in ("dense", "deep", "conv1d"):
+        assert bench.flops_per_frame(arch) > 1e6
