@@ -374,9 +374,11 @@ MATRIX = [
      "precision": "bfloat16", "backend": "xla"},
     # giant batch keeps XLA: measured pallas 4.11 M vs xla 4.63 M — the
     # gradient-accumulation scan overlaps better under XLA's scheduler
+    # chain 8: a giant step is ~28 ms of device time, so chain-4 windows
+    # left a ~15% dispatch tail (measured 4.23 M vs 4.6 M chained deeper)
     {"name": "dense_bf16_giant_batch", "arch": "dense", "batch": 131072,
      "precision": "bfloat16", "backend": "xla", "microbatch": 8192,
-     "chain": 4, "steps": 3, "timeout": 900},
+     "chain": 8, "steps": 3, "timeout": 900},
     {"name": "dense_high_pallas", "arch": "dense", "batch": 4096,
      "precision": "high", "backend": "pallas"},
     {"name": "dense_high_xla", "arch": "dense", "batch": 4096,
