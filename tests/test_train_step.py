@@ -578,3 +578,31 @@ def test_resident_sharded_local_shuffle_mode():
         state, losses = run_epochs(state, dev_frames, epoch)
         means.append(float(np.asarray(jax.device_get(losses)).mean()))
     assert means[-1] < means[0] and np.isfinite(means).all()
+
+
+def test_perf_recipe_combination_trains():
+    """The shipped perf-first recipe (configs/perf_bf16.ini) stacks three
+    opt-in knobs — device-resident epochs, block-granular shuffle, on-chip
+    PRNG.  Each is tested in isolation elsewhere; this pins the
+    COMBINATION the recipe actually ships."""
+    from rawaudiovae_kelsey_tpu.parallel.resident import (
+        build_resident_epoch,
+        put_resident,
+    )
+
+    cfg = small_cfg(resident_shuffle="block", rng="tpu_prng")
+    cfg.training.batch_size = 64
+    model, opt, state = make_state(cfg, seed=5)
+    rng = np.random.default_rng(5)
+    corpus = (0.4 * np.sin(np.arange(40_000) / 25.0)
+              + 0.05 * rng.standard_normal(40_000)).astype(np.float32)
+    run_epochs, n_batches = build_resident_epoch(
+        model, cfg, opt, len(corpus), layout="frames", group_k=4
+    )
+    dev = put_resident(corpus, cfg, "frames")
+    state, losses = run_epochs(state, dev, 0, k=4)
+    losses = np.asarray(jax.device_get(losses))
+    assert losses.shape == (4, n_batches)
+    assert np.isfinite(losses).all()
+    # training makes progress across the grouped epochs
+    assert losses[-1].mean() < losses[0].mean()
