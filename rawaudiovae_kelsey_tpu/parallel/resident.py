@@ -391,13 +391,54 @@ def build_resident_epoch_sharded(
 
 
 def put_frames_sharded(frames: np.ndarray, cfg: Config, mesh) -> "jax.Array":
-    """Upload the (padded) frame matrix sharded over the data axis."""
+    """Upload the (padded) frame matrix sharded over the data axis.
+
+    Single-controller: ``frames`` is the GLOBAL matrix, device_put shards
+    it.  Multi-host: ``frames`` is this PROCESS's local rows (equal count
+    on every host — align with :func:`align_local_rows` first) and the
+    hosts' blocks are stitched into one DCN-spanning global array.  Row
+    placement across devices is semantically irrelevant to the sharded
+    epoch trainer — the two-pass shuffle mixes shards every epoch and the
+    gradient reduction is placement-invariant — so no device-order
+    (process-contiguity) requirement applies here, unlike the resident
+    STREAM's host-side global index plans."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
 
     dtype = jnp.bfloat16 if cfg.tpu.precision == "bfloat16" else jnp.float32
-    return jax.device_put(
-        jnp.asarray(frames, dtype),
-        NamedSharding(mesh, P(DATA_AXIS, None)),
-    )
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(frames, dtype)
+        )
+    return jax.device_put(jnp.asarray(frames, dtype), sharding)
+
+
+def align_local_rows(frames: np.ndarray, mesh) -> np.ndarray:
+    """Multi-host prep for :func:`put_frames_sharded`: wrap-pad this host's
+    frame rows to the cross-host maximum rounded up to the host's data-axis
+    device count, so every process contributes an equal, evenly-shardable
+    block.  Wrap-padding repeats local frames — the same epoch semantics as
+    the single-host :func:`pad_frames_for_mesh` (duplicated rows train
+    again; no masking needed)."""
+    from jax.experimental import multihost_utils
+
+    from rawaudiovae_kelsey_tpu.parallel.mesh import DATA_AXIS
+
+    if jax.process_count() <= 1:
+        return frames
+    dph = mesh.shape[DATA_AXIS] // jax.process_count()
+    counts = multihost_utils.process_allgather(np.asarray(len(frames)))
+    target = -(-int(counts.max()) // max(dph, 1)) * max(dph, 1)
+    return _wrap_pad_to(frames, target)
+
+
+def _wrap_pad_to(frames: np.ndarray, target: int) -> np.ndarray:
+    """Wrap-pad ``frames`` to exactly ``target`` rows."""
+    if len(frames) >= target:
+        return frames[:target]
+    extra = target - len(frames)
+    reps = -(-extra // max(len(frames), 1))
+    fill = np.concatenate([frames] * reps, axis=0)[:extra]
+    return np.concatenate([frames, fill], axis=0)

@@ -35,9 +35,13 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
     if not datapath.exists():
         raise FileNotFoundError(datapath.resolve())
 
-    # device_resident="always" runs the on-chip epoch loop, which is
-    # single-device — skip mesh setup in that case
-    ctx = L.setup(cfg, use_mesh=cfg.tpu.device_resident != "always")
+    # device_resident="always" runs the single-device on-chip epoch loop —
+    # skip mesh setup — EXCEPT under multihost, where a mesh-less "always"
+    # would train one independent copy per process into the same
+    # workspace; there the mesh stays up and the DCN-spanning sharded
+    # resident path serves the request (or raises if it can't).
+    ctx = L.setup(cfg, use_mesh=(cfg.tpu.device_resident != "always"
+                                 or cfg.tpu.multihost))
     try:
         with GracefulInterrupt() as stop:
             return _run(ctx, cfg, verbose, stop)
@@ -81,24 +85,32 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
     budget = int(cfg.tpu.resident_budget_gb * (1 << 30))
     n_shards = ctx.mesh.shape["data"] if ctx.mesh is not None else 1
+    # Multi-host decisions (layout choice, resident gating) must be
+    # IDENTICAL on every process or the hosts diverge into different
+    # collective programs: derive them from allgathered worst-case sizes
+    # (max corpus for the budget, min frame count for the batch gate).
+    if ctx.mesh is not None and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.asarray([n_samples, len(dataset)]))
+        n_samples_eff = int(np.max(counts[:, 0]))
+        min_frames = int(np.min(counts[:, 1]))
+    else:
+        n_samples_eff, min_frames = n_samples, len(dataset)
     # per-device budget: under a mesh the frame matrix shards over 'data'
-    layout = R.choose_layout(n_samples, cfg.audio.segment_length,
+    layout = R.choose_layout(n_samples_eff, cfg.audio.segment_length,
                              cfg.audio.hop_length, dtype_bytes,
                              budget * n_shards)
-    # single-controller only: put_frames_sharded device_puts the global
-    # frame matrix, which needs every mesh device addressable.  Multi-host
-    # epoch runs use the host-fed feed (epoch.py multihost branch); the
-    # STREAM trainer is the path with DCN-spanning resident support.
     mesh_ok = (ctx.mesh is None
                or (cfg.tpu.model_parallel <= 1 and layout == "frames"
-                   and batch_size % n_shards == 0
-                   and jax.process_count() == 1))
+                   and batch_size % n_shards == 0))
     use_resident = (
         cfg.tpu.device_resident != "never"
         and layout is not None
         and mesh_ok
     )
-    if use_resident and len(dataset) >= batch_size:
+    if use_resident and min_frames >= batch_size:
         return _run_resident(ctx, cfg, verbose, stop, corpus, n_samples,
                              len(dataset), layout)
     if cfg.tpu.device_resident == "always":
@@ -280,10 +292,20 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             corpus, cfg.audio.segment_length, cfg.audio.hop_length
         ))
         n_shards = ctx.mesh.shape["data"]
-        frames = R.pad_frames_for_mesh(frames, n_shards)
+        if jax.process_count() > 1:
+            # DCN-spanning residency: each host contributes its file-shard
+            # frames, wrap-padded to the cross-host max so the blocks
+            # stitch evenly; the two-pass shuffle then mixes them globally
+            # every epoch (no process-contiguity requirement — see
+            # put_frames_sharded)
+            frames = R.align_local_rows(frames, ctx.mesh)
+            n_frames_padded = len(frames) * jax.process_count()
+        else:
+            frames = R.pad_frames_for_mesh(frames, n_shards)
+            n_frames_padded = len(frames)
         dev_corpus = R.put_frames_sharded(frames, cfg, ctx.mesh)
         run_epochs, n_batches = R.build_resident_epoch_sharded(
-            ctx.model, cfg, optimizer, len(frames), ctx.mesh,
+            ctx.model, cfg, optimizer, n_frames_padded, ctx.mesh,
             group_k=group_k,
         )
         del frames

@@ -328,3 +328,129 @@ def test_data_axis_process_contiguity_detection():
                 [[Dev(0), Dev(0)], [Dev(1), Dev(1)]], dtype=object)
 
     assert data_axis_process_contiguous(StubMesh2D())
+
+
+EPOCH_RESIDENT_WORKER = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+datapath = sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=2,
+    process_id=proc_id,
+)
+
+import glob
+import numpy as np
+import jax.numpy as jnp
+
+from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.train.epoch import train
+
+# unit invariant first: stitching per-host blocks must preserve content.
+# Each host contributes a DIFFERENT row count; align wrap-pads to the max.
+from jax.experimental import multihost_utils
+from rawaudiovae_kelsey_tpu.parallel.mesh import make_mesh
+from rawaudiovae_kelsey_tpu.parallel.resident import (
+    align_local_rows,
+    put_frames_sharded,
+)
+
+mesh = make_mesh()
+cfgq = Config()
+cfgq.tpu.precision = "float32"
+rows = 5 if proc_id == 0 else 3
+local = (np.arange(rows * 8, dtype=np.float32)
+         .reshape(rows, 8) + 100.0 * proc_id)
+aligned = align_local_rows(local, mesh)
+gathered = multihost_utils.process_allgather(aligned)  # (2, L, 8)
+dev = put_frames_sharded(aligned, cfgq, mesh)
+assert dev.shape == (aligned.shape[0] * 2, 8), dev.shape
+ssq = jax.jit(lambda a: jnp.sum(a * a), out_shardings=None)(dev)
+want = float((gathered.astype(np.float64) ** 2).sum())
+got = float(jax.device_get(ssq))
+assert abs(got - want) / want < 1e-6, (got, want)
+print(f"proc{proc_id} STITCH_OK L={aligned.shape[0]}")
+
+cfg = Config()
+cfg.dataset.datapath = datapath
+cfg.dataset.generate_test = False
+cfg.audio.segment_length = 256
+cfg.audio.hop_length = 64
+cfg.vae.n_units = 64
+cfg.vae.latent_dim = 16
+cfg.training.batch_size = 16
+cfg.training.epochs = 3
+cfg.training.checkpoint_interval = 2
+cfg.extra.description = "mh_res_epoch"
+cfg.tpu.device_resident = "always"
+cfg.tpu.multihost = True
+ctx = train(cfg, verbose=False)
+print(f"proc{proc_id} resident mesh={ctx.mesh is not None} "
+      f"procs={jax.process_count()} step={int(jax.device_get(ctx.state.step))}")
+
+
+def losses(ctx):
+    from tensorboard.backend.event_processing import event_file_loader
+
+    hist = {}
+    for f in glob.glob(str(ctx.workspace.log_dir / "events.out.tfevents.*")):
+        for e in event_file_loader.LegacyEventFileLoader(f).Load():
+            for v in e.summary.value:
+                if v.tag == "Loss/Batch":
+                    hist[e.step] = v.simple_value
+    return [hist[k] for k in sorted(hist)]
+
+
+seq = np.asarray(losses(ctx))
+assert np.isfinite(seq).all() and len(seq) > 0, seq
+other = multihost_utils.process_allgather(seq)
+np.testing.assert_array_equal(other[0], other[1])
+print(f"proc{proc_id} EPOCH_LOSSES_REPLICATED n={len(seq)}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_resident_epochs(tmp_path):
+    """DCN-spanning resident EPOCHS (round 3): per-host file-shard frames
+    wrap-pad-aligned and stitched into one sharded frame matrix, whole
+    epoch groups on-chip across both processes with the two-pass global
+    shuffle, loss sequence bit-identical on every host."""
+    import socket
+
+    import numpy as np
+
+    from rawaudiovae_kelsey_tpu.io import write_wav
+
+    (tmp_path / "audio").mkdir()
+    rng = np.random.default_rng(7)
+    # uneven per-host corpora -> exercises align_local_rows wrap-padding
+    for i, n in enumerate([11000, 7000, 15000, 5000]):
+        write_wav(tmp_path / "audio" / f"t{i}.wav",
+                  rng.uniform(-0.5, 0.5, n).astype(np.float32), 44100)
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(EPOCH_RESIDENT_WORKER)
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        port = str(sk.getsockname()[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), port, str(tmp_path)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    assert all("STITCH_OK" in o for o in outs), outs
+    assert all("resident mesh=True procs=2" in o for o in outs), outs
+    assert all("EPOCH_LOSSES_REPLICATED" in o for o in outs), outs
