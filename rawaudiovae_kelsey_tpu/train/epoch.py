@@ -40,8 +40,11 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
     # would train one independent copy per process into the same
     # workspace; there the mesh stays up and the DCN-spanning sharded
     # resident path serves the request (or raises if it can't).
+    # (process_count catches externally-initialized jax.distributed runs
+    # that didn't set [tpu] multihost)
     ctx = L.setup(cfg, use_mesh=(cfg.tpu.device_resident != "always"
-                                 or cfg.tpu.multihost))
+                                 or cfg.tpu.multihost
+                                 or jax.process_count() > 1))
     try:
         with GracefulInterrupt() as stop:
             return _run(ctx, cfg, verbose, stop)
