@@ -419,6 +419,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             jax.profiler.start_trace(str(ctx.workspace.log_dir / "profile"))
         ctx.state, dev_losses = run_epochs(ctx.state, dev_corpus, epoch, k=k)
         pending.append((epoch, k, dev_losses))
+        # start the device→host loss copy NOW: it lands right behind the
+        # group's compute, so the checkpoint-boundary drain doesn't pay a
+        # fresh fetch round trip per pending group
+        L.prefetch_host(dev_losses)
         if profiling:
             drain()
             jax.profiler.stop_trace()

@@ -197,6 +197,21 @@ def _find_resume_checkpoint(cfg: Config,
     return None
 
 
+def prefetch_host(tree) -> None:
+    """Enqueue device→host copies for every array in ``tree`` without
+    blocking.  The transfer is ordered after the producing computation, so
+    a later ``device_get`` finds the bytes already on (or streaming to) the
+    host instead of paying a fresh request round trip through the host link
+    at drain time (~28 ms each through the tunnel — docs/PERF.md).  Used by
+    the resident trainers on their per-group loss buffers the moment each
+    group is dispatched."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:  # non-jax leaf (e.g. python scalar)
+            pass
+
+
 def batch_to_device(ctx: TrainContext, batch: np.ndarray) -> jax.Array:
     if ctx.mesh is not None:
         return jax.device_put(batch, batch_sharding(ctx.mesh))

@@ -516,6 +516,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         k = idx_dev.shape[0]
         ctx.state, losses = run_chunk(ctx.state, idx_dev, dev_frames)
         pending.append((batch_id, losses))  # no sync in the hot loop
+        L.prefetch_host(losses)  # drain finds the bytes already en route
         batch_id += k
         if len(pending) >= 8:
             # backpressure: wait for the OLDEST chunk to finish (without
