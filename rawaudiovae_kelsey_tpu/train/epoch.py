@@ -15,9 +15,11 @@ Differences from the reference (each intentional, cited):
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rawaudiovae_kelsey_tpu.config import Config
@@ -353,7 +355,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     # over the drained window.  histogram_interval = 0 logs histograms at
     # the checkpoint cadence here (each pull syncs + ships every parameter
     # through the host link).
-    pending = []  # (first epoch, active count, (group_k, n_batches) losses)
+    # (first epoch, active count, (group_k, n_batches) losses, dispatch time)
+    pending = []
 
     def drain():
         nonlocal train_loss
@@ -364,10 +367,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # rule — stopping the timer before the fetch would exclude all
         # in-flight work and overstate frames/s).  Rows past the active
         # count are the masked tail (NaN) — sliced off here.
+        t_first = pending[0][3]
         fetched = [(ep0, np.asarray(jax.device_get(dl), np.float64)[:kk])
-                   for ep0, kk, dl in pending]
+                   for ep0, kk, dl, _ in pending]
         pending.clear()
         window_s = ctx.timer.stop()
+        # a group dispatched ahead of a checkpoint boundary computes through
+        # the (untimed) boundary I/O — time it from its DISPATCH, or the
+        # printed rate would count only the sliver left after the I/O
+        window_s = max(window_s, time.perf_counter() - t_first)
         n_done = sum(arr.shape[0] for _, arr in fetched)
         rate = n_done * n_batches * batch_size / max(window_s, 1e-9)
         for ep0, arr in fetched:
@@ -392,6 +400,17 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
     hist_every = cfg.tpu.histogram_interval
 
+    # Checkpoint-boundary pipelining: at a boundary the host blocks on the
+    # loss drain, then spends several host-link round trips on state-reading
+    # actions (histogram pull, reconstruction, checkpoint write) — all while
+    # the device idles.  Instead: snapshot the boundary state ON-DEVICE
+    # (fresh buffers, so donating the live state to the next dispatch stays
+    # legal), put the NEXT group in flight immediately, and run every
+    # boundary action from the snapshot while the device trains ahead.
+    # Disabled when a profiler window is configured (its trace must cover
+    # exactly one dispatch).
+    snap_fn = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))
+
     def group_end(e0: int) -> int:
         """Last epoch (inclusive) of the group starting at e0.  A group
         runs through the first epoch whose post-epoch action fires (a
@@ -408,55 +427,98 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             last += 1
         return last
 
+    total_t0 = time.perf_counter()
     ctx.timer.start()
     epoch = start_epoch
+    predispatched = None  # last epoch of a group already in flight
     while epoch < epochs:
-        last = group_end(epoch)
-        k = last - epoch + 1
-        profiling = profile_epoch == epoch and k == 1
-        if profiling:
-            drain()  # bound the trace to this epoch's dispatch
-            jax.profiler.start_trace(str(ctx.workspace.log_dir / "profile"))
-        ctx.state, dev_losses = run_epochs(ctx.state, dev_corpus, epoch, k=k)
-        pending.append((epoch, k, dev_losses))
-        # start the device→host loss copy NOW: it lands right behind the
-        # group's compute, so the checkpoint-boundary drain doesn't pay a
-        # fresh fetch round trip per pending group
-        L.prefetch_host(dev_losses)
-        if profiling:
-            drain()
-            jax.profiler.stop_trace()
-        elif len(pending) >= 4:
-            # backpressure: wait for the OLDEST group to finish (without
-            # draining — later groups stay in flight) so in-flight work and
-            # interrupt latency stay bounded while the pipeline keeps full
-            jax.block_until_ready(pending[0][2])
+        if predispatched is not None:
+            last, predispatched = predispatched, None
+        else:
+            last = group_end(epoch)
+            k = last - epoch + 1
+            profiling = profile_epoch == epoch and k == 1
+            if profiling:
+                drain()  # bound the trace to this epoch's dispatch
+                jax.profiler.start_trace(
+                    str(ctx.workspace.log_dir / "profile"))
+            ctx.state, dev_losses = run_epochs(ctx.state, dev_corpus,
+                                               epoch, k=k)
+            pending.append((epoch, k, dev_losses, time.perf_counter()))
+            # start the device→host loss copy NOW: it lands right behind
+            # the group's compute, so the checkpoint-boundary drain doesn't
+            # pay a fresh fetch round trip per pending group
+            L.prefetch_host(dev_losses)
+            if profiling:
+                drain()
+                jax.profiler.stop_trace()
+            elif len(pending) >= 4:
+                # backpressure: wait for the OLDEST group to finish (without
+                # draining — later groups stay in flight) so in-flight work
+                # and interrupt latency stay bounded with the pipeline full
+                jax.block_until_ready(pending[0][2])
         epoch = last  # the boundary checks below refer to the LAST epoch run
 
-        if hist_every and epoch % hist_every == 0:
-            drain()
-            L.log_param_histograms(ctx, epoch)
-            ctx.timer.start()  # exclude the histogram pull from the window
+        hist_fires = bool(hist_every and epoch % hist_every == 0)
+        ckpt_fires = bool(interval and epoch % interval == 0 and epoch != 0)
+        if not (hist_fires or ckpt_fires or stop):
+            epoch += 1
+            continue
 
-        if stop:
-            drain()
-            print(f"Interrupted after epoch {epoch}; checkpointing.")
-            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
-            return ctx
-        if interval and epoch % interval == 0 and epoch != 0:
-            drain()
-            print(f"Checkpoint - Epoch {epoch}")
-            if not hist_every:
+        # dispatch-ahead before blocking on the drain (see snap_fn comment)
+        snap = next_group = None
+        if ((hist_fires or ckpt_fires) and not stop
+                and profile_epoch < 0 and epoch + 1 < epochs):
+            snap = snap_fn(ctx.state)
+            nlast = group_end(epoch + 1)
+            nk = nlast - epoch
+            ctx.state, dl2 = run_epochs(ctx.state, dev_corpus, epoch + 1,
+                                        k=nk)
+            L.prefetch_host(dl2)
+            next_group = (epoch + 1, nk, dl2, time.perf_counter(), nlast)
+
+        drain()  # only groups ≤ the boundary: next_group isn't pending yet
+        live = None
+        if snap is not None:
+            live, ctx.state = ctx.state, snap  # actions see boundary state
+        try:
+            if hist_fires:
                 L.log_param_histograms(ctx, epoch)
-            if cfg.dataset.generate_test:
-                L.reconstruct_test_set(ctx, epoch)
-            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
-            L.maybe_save_best(ctx, train_loss, epoch,
-                              cfg.training.save_best_model_after)
-            ctx.timer.start()  # exclude checkpoint I/O from the next window
+            if stop:
+                print(f"Interrupted after epoch {epoch}; checkpointing.")
+                L.save_periodic_checkpoint(ctx, {"epoch": epoch},
+                                           label=epoch)
+                return ctx
+            if ckpt_fires:
+                print(f"Checkpoint - Epoch {epoch}")
+                if not hist_every:
+                    L.log_param_histograms(ctx, epoch)
+                if cfg.dataset.generate_test:
+                    L.reconstruct_test_set(ctx, epoch)
+                L.save_periodic_checkpoint(ctx, {"epoch": epoch},
+                                           label=epoch)
+                L.maybe_save_best(ctx, train_loss, epoch,
+                                  cfg.training.save_best_model_after)
+        finally:
+            if live is not None:
+                ctx.state = live
+        if next_group is not None:
+            e1, nk, dl2, t_disp, nlast = next_group
+            pending.append((e1, nk, dl2, t_disp))
+            predispatched = nlast
+        ctx.timer.start()  # exclude boundary I/O from the next window
         epoch += 1
 
     drain()
+    wall = time.perf_counter() - total_t0
+    done = epochs - start_epoch
+    if done > 0:
+        # the per-window rates above exclude checkpoint I/O (and with the
+        # dispatch-ahead above, device work overlaps it) — this line is the
+        # unambiguous number: every trained frame over the full wall clock
+        print(f"====> Resident epochs e2e: {done} epochs in {wall:.2f}s = "
+              f"{done * n_batches * batch_size / max(wall, 1e-9):,.0f} "
+              f"frames/s wall-clock incl. checkpoints")
 
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")

@@ -214,6 +214,46 @@ def test_normalize_examples(scratch_dataset):
     assert float(np.abs(rec).max()) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_resident_checkpoint_pipelining_bitexact(scratch_dataset):
+    """The dispatch-ahead at resident checkpoint boundaries (train/epoch.py
+    `_run_resident`: snapshot → next group in flight → boundary actions from
+    the snapshot) must not perturb training: a run WITH periodic checkpoints
+    trains bit-identically to one without any, and the boundary checkpoint
+    holds exactly the boundary-epoch state."""
+    import jax
+
+    from rawaudiovae_kelsey_tpu.train import checkpoint as ckpt
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.training.epochs = 5
+    cfg.training.checkpoint_interval = 2  # boundaries at epochs 2 and 4
+    cfg.extra.description = "pipe_ckpt"
+    ctx_a = train(cfg, verbose=False)
+
+    cfg2 = small_cfg(scratch_dataset)
+    cfg2.tpu.device_resident = "always"
+    cfg2.training.epochs = 5
+    cfg2.training.checkpoint_interval = 0  # no boundaries → no pipelining
+    cfg2.extra.description = "pipe_none"
+    ctx_b = train(cfg2, verbose=False)
+
+    pa = jax.tree_util.tree_leaves(jax.device_get(ctx_a.state.params))
+    pb = jax.tree_util.tree_leaves(jax.device_get(ctx_b.state.params))
+    for la, lb in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    # ckpt_00002 = state after epochs 0..2 (3 of 5 epochs) — the snapshot,
+    # not the state advanced by the group dispatched ahead of the drain
+    end_step = int(jax.device_get(ctx_a.state.step))
+    assert end_step % 5 == 0
+    restored, _ = ckpt.restore_checkpoint(
+        ctx_a.workspace.checkpoint_dir / "ckpt_00002.npz", ctx_a.state
+    )
+    assert int(jax.device_get(restored.step)) == end_step * 3 // 5
+
+
 def test_stream_trainer_device_resident(scratch_dataset):
     """Device-resident stream mode: exact stream replay via index batches;
     full workspace contract."""
