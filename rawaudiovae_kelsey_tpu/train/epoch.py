@@ -467,9 +467,24 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
         # dispatch-ahead before blocking on the drain (see snap_fn comment)
         snap = next_group = None
+        recon_done = False
         if ((hist_fires or ckpt_fires) and not stop
                 and profile_epoch < 0 and epoch + 1 < epochs):
             snap = snap_fn(ctx.state)
+            if ckpt_fires and cfg.dataset.generate_test:
+                # device-side eval must be enqueued BEFORE the next group's
+                # dispatch, or it queues behind up to group_k epochs of
+                # compute and the checkpoint artifact (and any interrupt)
+                # trails by that much.  The host blocks on the small
+                # inference here; the expensive boundary actions (drain,
+                # histogram pull, checkpoint write) still overlap below.
+                _live = ctx.state
+                ctx.state = snap
+                try:
+                    L.reconstruct_test_set(ctx, epoch)
+                finally:
+                    ctx.state = _live
+                recon_done = True
             nlast = group_end(epoch + 1)
             nk = nlast - epoch
             ctx.state, dl2 = run_epochs(ctx.state, dev_corpus, epoch + 1,
@@ -485,6 +500,21 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             if hist_fires:
                 L.log_param_histograms(ctx, epoch)
             if stop:
+                if next_group is not None:
+                    # the signal landed after the dispatch-ahead decision:
+                    # the next group is already computing on-device.  Fold
+                    # it in — drain its losses and checkpoint the
+                    # post-group state — so the returned context, the
+                    # checkpoint label, and the TB trail all agree (a
+                    # checkpoint at the boundary epoch with a state that
+                    # silently ran ahead would be inconsistent).
+                    e1, nk2, dl2, t_disp, nlast = next_group
+                    pending.append((e1, nk2, dl2, t_disp))
+                    next_group = None
+                    if live is not None:
+                        ctx.state, live = live, None
+                    epoch = nlast
+                    drain()
                 print(f"Interrupted after epoch {epoch}; checkpointing.")
                 L.save_periodic_checkpoint(ctx, {"epoch": epoch},
                                            label=epoch)
@@ -493,7 +523,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 print(f"Checkpoint - Epoch {epoch}")
                 if not hist_every:
                     L.log_param_histograms(ctx, epoch)
-                if cfg.dataset.generate_test:
+                if cfg.dataset.generate_test and not recon_done:
                     L.reconstruct_test_set(ctx, epoch)
                 L.save_periodic_checkpoint(ctx, {"epoch": epoch},
                                            label=epoch)
