@@ -168,7 +168,8 @@ class EventWriter:
         fname = "events.out.tfevents.{:.0f}.{}.{}".format(
             time.time(), socket.gethostname(), os.getpid()
         )
-        self._fh = open(self.log_dir / fname, "ab")
+        self.path = self.log_dir / fname  # this process's own event file
+        self._fh = open(self.path, "ab")
         self._write_event(_event(_f_str(3, "brain.Event:2")))
 
     # -- record framing --

@@ -230,13 +230,7 @@ def build_resident_epoch(
 
 def pad_frames_for_mesh(frames: np.ndarray, n_shards: int) -> np.ndarray:
     """Wrap-pad the frame matrix so rows divide evenly across shards."""
-    rem = len(frames) % n_shards
-    if rem == 0:
-        return frames
-    extra = n_shards - rem
-    reps = -(-extra // max(len(frames), 1))
-    fill = np.concatenate([frames] * reps, axis=0)[:extra]
-    return np.concatenate([frames, fill], axis=0)
+    return _wrap_pad_to(frames, -(-len(frames) // n_shards) * n_shards)
 
 
 def _two_pass_shuffle(frames_local, key, axis_name: str, n_shards: int):
@@ -412,7 +406,10 @@ def put_frames_sharded(frames: np.ndarray, cfg: Config, mesh) -> "jax.Array":
         return jax.make_array_from_process_local_data(
             sharding, np.asarray(frames, dtype)
         )
-    return jax.device_put(jnp.asarray(frames, dtype), sharding)
+    # cast on the HOST and shard straight from host memory: jnp.asarray
+    # would first materialize the whole global matrix on the default
+    # device — a transient device-0 OOM for corpora that only fit sharded
+    return jax.device_put(np.asarray(frames, dtype), sharding)
 
 
 def align_local_rows(frames: np.ndarray, mesh) -> np.ndarray:
@@ -438,7 +435,14 @@ def _wrap_pad_to(frames: np.ndarray, target: int) -> np.ndarray:
     """Wrap-pad ``frames`` to exactly ``target`` rows."""
     if len(frames) >= target:
         return frames[:target]
+    if len(frames) == 0:
+        # silently returning short rows would desync this process from its
+        # peers and deadlock their next collective — fail loudly instead
+        raise ValueError(
+            "cannot wrap-pad an empty frame matrix: this host's file shard "
+            "yielded no frames (more hosts than audio files?)"
+        )
     extra = target - len(frames)
-    reps = -(-extra // max(len(frames), 1))
+    reps = -(-extra // len(frames))
     fill = np.concatenate([frames] * reps, axis=0)[:extra]
     return np.concatenate([frames, fill], axis=0)

@@ -54,6 +54,23 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
         L.finish(ctx)
 
 
+def _sync_stop(stop, multihost: bool) -> bool:
+    """Act on an interrupt only by cluster-wide agreement.  Signals are
+    per-process: under multihost, one host taking its local stop branch
+    (drain + return) while the others dispatch the next collective would
+    hang the cluster — and the interrupt checkpoint is only written by
+    process 0, which may not be the signaled host.  Allgather the flag at
+    every decision point (all processes reach these points in the same
+    order, so the collective always matches up); any host's signal stops
+    the whole job."""
+    s = bool(stop)
+    if not multihost:
+        return s
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.process_allgather(np.asarray(s)).any())
+
+
 def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
          stop=None) -> L.TrainContext:
     # eager ingest (train.py:113-130)
@@ -101,12 +118,26 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             np.asarray([n_samples, len(dataset)]))
         n_samples_eff = int(np.max(counts[:, 0]))
         min_frames = int(np.min(counts[:, 1]))
+        # reference avg-loss divisor: the GLOBAL dataset length (each
+        # host's loss is already the pmean-reduced global value; dividing
+        # by the local length would make hosts log conflicting averages)
+        dataset_len_eff = int(np.sum(counts[:, 1]))
+        # align_local_rows wrap-pads EVERY host to the cross-host max, so
+        # the stitched matrix holds ~P×max rows and each device's share is
+        # max_host_frames / (data devices per host): the budget cap is
+        # budget × dph for the MAX-host size — budget × n_shards would be
+        # right only if n_samples_eff were the global size, and admits
+        # P× too much
+        budget_cap = budget * max(n_shards // jax.process_count(), 1)
     else:
         n_samples_eff, min_frames = n_samples, len(dataset)
-    # per-device budget: under a mesh the frame matrix shards over 'data'
+        dataset_len_eff = len(dataset)
+        # per-device budget: under a mesh the frame matrix shards over
+        # 'data', so the global matrix may be n_shards × one device's budget
+        budget_cap = budget * n_shards
     layout = R.choose_layout(n_samples_eff, cfg.audio.segment_length,
                              cfg.audio.hop_length, dtype_bytes,
-                             budget * n_shards)
+                             budget_cap)
     mesh_ok = (ctx.mesh is None
                or (cfg.tpu.model_parallel <= 1 and layout == "frames"
                    and batch_size % n_shards == 0))
@@ -117,7 +148,7 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     )
     if use_resident and min_frames >= batch_size:
         return _run_resident(ctx, cfg, verbose, stop, corpus, n_samples,
-                             len(dataset), layout)
+                             dataset_len_eff, layout)
     if cfg.tpu.device_resident == "always":
         raise ValueError(
             "device_resident=always but the corpus does not fit "
@@ -213,10 +244,13 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             ctx.state, metrics = ctx.train_step(ctx.state, batch)
             batch_metrics.append(metrics["loss"])  # device scalar, no sync
             global_step += 1
-            if stop:
+            # mid-epoch break is single-host only: under multihost the
+            # other processes would keep feeding collectives (see
+            # _sync_stop) — there the interrupt lands at the epoch boundary
+            if stop and not multihost:
                 break
         epoch_s = ctx.timer.stop()
-        if stop:
+        if _sync_stop(stop, multihost):
             print(f"Interrupted in epoch {epoch}; checkpointing.")
             feed.close()
             L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
@@ -229,7 +263,7 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             ctx.writer.add_scalar("Loss/Batch", l, gstep)
             ctx.writer.add_scalar("Learning Rate", lr, gstep)
 
-        avg = train_loss / max(len(dataset), 1)
+        avg = train_loss / max(dataset_len_eff, 1)
         print(
             f"====> Epoch: {epoch} - Total loss: {train_loss} - "
             f"Average loss: {avg:.9f} "
@@ -333,6 +367,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     interval = cfg.training.checkpoint_interval
     lr = cfg.training.learning_rate
     train_loss = float("inf")
+    multihost = jax.process_count() > 1  # stop-flag sync (see _sync_stop)
     start_epoch = min(-(-ctx.start_step // max(n_batches, 1)), epochs)
     if start_epoch:
         print(f"Resuming at epoch {start_epoch}")
@@ -461,14 +496,18 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
         hist_fires = bool(hist_every and epoch % hist_every == 0)
         ckpt_fires = bool(interval and epoch % interval == 0 and epoch != 0)
-        if not (hist_fires or ckpt_fires or stop):
+        # one synced read per group iteration: every process evaluates the
+        # allgather at the same point (hist/ckpt fire identically on all
+        # hosts), so the cluster agrees whether to stop
+        stop_now = _sync_stop(stop, multihost)
+        if not (hist_fires or ckpt_fires or stop_now):
             epoch += 1
             continue
 
         # dispatch-ahead before blocking on the drain (see snap_fn comment)
         snap = next_group = None
         recon_done = False
-        if ((hist_fires or ckpt_fires) and not stop
+        if ((hist_fires or ckpt_fires) and not stop_now
                 and profile_epoch < 0 and epoch + 1 < epochs):
             snap = snap_fn(ctx.state)
             if ckpt_fires and cfg.dataset.generate_test:
@@ -499,7 +538,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         try:
             if hist_fires:
                 L.log_param_histograms(ctx, epoch)
-            if stop:
+            # re-sync: a signal may have landed after the dispatch-ahead
+            # decision (all processes take the same branch, so the
+            # conditional collective still matches up cluster-wide)
+            if stop_now or _sync_stop(stop, multihost):
                 if next_group is not None:
                     # the signal landed after the dispatch-ahead decision:
                     # the next group is already computing on-device.  Fold

@@ -395,20 +395,25 @@ print(f"proc{proc_id} resident mesh={ctx.mesh is not None} "
 
 
 def losses(ctx):
+    # read ONLY this process's own event file (ctx.writer.path): both
+    # workers share log_dir, and merging every file would make the two
+    # hosts compare identical merges — a vacuous check that would pass
+    # even if their loss sequences diverged
     from tensorboard.backend.event_processing import event_file_loader
 
     hist = {}
-    for f in glob.glob(str(ctx.workspace.log_dir / "events.out.tfevents.*")):
-        for e in event_file_loader.LegacyEventFileLoader(f).Load():
-            for v in e.summary.value:
-                if v.tag == "Loss/Batch":
-                    hist[e.step] = v.simple_value
+    for e in event_file_loader.LegacyEventFileLoader(
+            str(ctx.writer.path)).Load():
+        for v in e.summary.value:
+            if v.tag == "Loss/Batch":
+                hist[e.step] = v.simple_value
     return [hist[k] for k in sorted(hist)]
 
 
 seq = np.asarray(losses(ctx))
 assert np.isfinite(seq).all() and len(seq) > 0, seq
 other = multihost_utils.process_allgather(seq)
+assert other.shape[0] == 2 and other.shape[1] == len(seq), other.shape
 np.testing.assert_array_equal(other[0], other[1])
 print(f"proc{proc_id} EPOCH_LOSSES_REPLICATED n={len(seq)}")
 """

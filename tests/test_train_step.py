@@ -507,6 +507,27 @@ def test_resident_epoch_block_shuffle():
     assert (n_frames // blk) * blk >= n_batches * cfg.training.batch_size
 
 
+def test_wrap_pad_contracts():
+    """Wrap-pad helpers: mesh padding delegates to the same body, an empty
+    host's frame block fails loudly (a silently-short array would desync
+    this process from its peers and hang their next collective)."""
+    from rawaudiovae_kelsey_tpu.parallel.resident import (
+        _wrap_pad_to,
+        pad_frames_for_mesh,
+    )
+
+    out = pad_frames_for_mesh(np.arange(24, dtype=np.float32).reshape(3, 8), 4)
+    assert out.shape == (4, 8)
+    np.testing.assert_array_equal(out[3], out[0])  # wrap, not zeros
+    # already divisible → untouched
+    sq = np.arange(32, dtype=np.float32).reshape(4, 8)
+    np.testing.assert_array_equal(pad_frames_for_mesh(sq, 4), sq)
+    with pytest.raises(ValueError, match="no frames"):
+        _wrap_pad_to(np.zeros((0, 8), np.float32), 16)
+    # zero target on an empty block stays a harmless no-op
+    assert pad_frames_for_mesh(np.zeros((0, 8), np.float32), 4).shape[0] == 0
+
+
 def test_two_pass_shuffle_mixes_shards():
     """The global resident shuffle must land an equal slice of every origin
     shard on every chip, and preserve the global row multiset."""
