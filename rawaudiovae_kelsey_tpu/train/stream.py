@@ -185,12 +185,25 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             ctx.writer.add_scalar("Learning Rate", lr, bid)
         pending.clear()
 
+    # Interrupt flags are per-process: under multihost a host acting on its
+    # local signal while peers dispatch the next collective hangs the
+    # cluster (and process 0, which writes the checkpoint, may not be the
+    # signaled host).  Sync the flag by allgather at a fixed batch cadence
+    # — identical on every process, so the collective always matches up.
+    multihost = jax.process_count() > 1 and ctx.mesh is not None
+    sync_every = max(1, interval // 10) if interval else 100
+
+    from rawaudiovae_kelsey_tpu.train.epoch import _sync_stop
+
     for offset, batch in enumerate(feed):
         batch_id = start_batch + offset
         ctx.state, metrics = ctx.train_step(ctx.state, batch)
         pending.append((batch_id, metrics["loss"]))
 
-        if stop:
+        stop_now = (bool(stop) if not multihost
+                    else (batch_id % sync_every == 0
+                          and _sync_stop(stop, True)))
+        if stop_now:
             feed.close()
             drain()
             print(f"Interrupted at batch {batch_id}; checkpointing.")
@@ -511,8 +524,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                                 put_fn=idx_put_fn)
     hist_marker = (start_batch // hist_every) if hist_every else 0
 
+    # Multihost interrupt sync (see epoch._sync_stop): allgather the
+    # per-process flag at boundaries every host reaches identically —
+    # histogram/checkpoint crossings, else every 8th chunk (the chunk plan
+    # is derived from allgathered sizes, so chunk indices line up).
+    mh = jax.process_count() > 1
+    from rawaudiovae_kelsey_tpu.train.epoch import _sync_stop
+
     ctx.timer.start()
-    for idx_dev in staged:
+    for ci, idx_dev in enumerate(staged):
         k = idx_dev.shape[0]
         ctx.state, losses = run_chunk(ctx.state, idx_dev, dev_frames)
         pending.append((batch_id, losses))  # no sync in the hot loop
@@ -526,19 +546,25 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
         if verbose:
             print(f"Batch {batch_id}/{total_num_batches}")
-        if hist_every and batch_id // hist_every != hist_marker:
+        crossed_hist = bool(hist_every
+                            and batch_id // hist_every != hist_marker)
+        if crossed_hist:
             # cadence by crossing multiples (batch_id advances by chunk)
             hist_marker = batch_id // hist_every
             L.log_param_histograms(ctx, batch_id)
-        if stop:
+        at_ckpt = bool(interval and batch_id % interval == 0
+                       and batch_id != total_num_batches)
+        stop_now = (bool(stop) if not mh
+                    else ((crossed_hist or at_ckpt or ci % 8 == 7)
+                          and _sync_stop(stop, True)))
+        if stop_now:
             staged.close()
             drain()
             print(f"Interrupted at batch {batch_id}; checkpointing.")
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
                                        label=batch_id)
             return ctx
-        if interval and batch_id % interval == 0 and \
-                batch_id != total_num_batches:
+        if at_ckpt:
             drain()
             step_time = ctx.timer.stop()
             print(f"Checkpoint - Batch {batch_id} "
