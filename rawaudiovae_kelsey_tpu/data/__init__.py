@@ -18,5 +18,6 @@ from rawaudiovae_kelsey_tpu.data.datasets import (  # noqa: F401
 )
 from rawaudiovae_kelsey_tpu.data.loader import (  # noqa: F401
     DevicePrefetcher,
+    pad_batches_for_mesh,
     prefetch_to_device,
 )

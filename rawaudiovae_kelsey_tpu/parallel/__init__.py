@@ -2,7 +2,12 @@ from rawaudiovae_kelsey_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    data_axis_process_contiguous,
+    global_batch_from_local,
+    host_shard_info,
+    is_coordinator,
     make_mesh,
+    maybe_initialize_distributed,
     replicated,
 )
 from rawaudiovae_kelsey_tpu.parallel.sharding import (  # noqa: F401
