@@ -19,6 +19,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -46,6 +47,7 @@ class _Handler(BaseHTTPRequestHandler):
     backend: InferenceServer = None
     sampling_rate: int = 44100
     request_timeout_s: float = 120.0
+    max_body_bytes: int = 256 << 20  # one request can't exhaust host RAM
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -61,8 +63,13 @@ class _Handler(BaseHTTPRequestHandler):
     def _send_json(self, code: int, obj) -> None:
         self._send(code, json.dumps(obj).encode(), "application/json")
 
+    class _TooLarge(Exception):
+        pass
+
     def _read_body(self) -> bytes:
         length = int(self.headers.get("Content-Length", 0))
+        if length > self.max_body_bytes:
+            raise self._TooLarge(length)
         return self.rfile.read(length)
 
     def _body_as_wave(self) -> np.ndarray:
@@ -94,6 +101,12 @@ class _Handler(BaseHTTPRequestHandler):
             q = parse_qs(parsed.query)
             hop = int(q["hop"][0]) if "hop" in q else None
             ola = q.get("ola", ["0"])[0] in ("1", "true")
+            seg = self.backend.model.segment_length
+            if hop is not None and (hop <= 0 or seg % hop):
+                self._send_json(400, {
+                    "error": f"hop must be a positive divisor of "
+                             f"segment_length {seg}; got {hop}"})
+                return
             if parsed.path == "/reconstruct":
                 wave = self._body_as_wave()
                 out = self.backend.reconstruct(wave, hop=hop, ola=ola).result(
@@ -125,8 +138,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(400, {"error": f"bad request: {e}"})
         except KeyError as e:
             self._send_json(400, {"error": f"missing array {e} in npz body"})
+        except self._TooLarge as e:
+            self._send_json(413, {
+                "error": f"body of {e} bytes exceeds the "
+                         f"{self.max_body_bytes}-byte limit"})
+        except FuturesTimeoutError:
+            # str(TimeoutError()) is "" — say what actually happened
+            self._send_json(504, {
+                "error": f"inference timed out after "
+                         f"{self.request_timeout_s:g}s (server overloaded "
+                         "or first-compile in progress)"})
         except Exception as e:  # noqa: BLE001
-            self._send_json(500, {"error": str(e)})
+            self._send_json(500, {"error": str(e) or type(e).__name__})
 
 
 class HttpInferenceServer:
@@ -170,10 +193,17 @@ class HttpInferenceServer:
         self.stop()
 
     def serve_forever(self) -> None:
-        self.backend.start()
+        self.backend.start()  # idempotent — safe after __enter__/start()
         print(f"serving on http://{self.httpd.server_address[0]}:{self.port}")
         try:
-            self.httpd.serve_forever()
+            if self._thread is not None and self._thread.is_alive():
+                # already serving on the background thread (context-manager
+                # use); a second serve_forever loop would fight over the
+                # same socket — just block until shutdown
+                while self._thread.is_alive():
+                    self._thread.join(timeout=1.0)
+            else:
+                self.httpd.serve_forever()
         except KeyboardInterrupt:
             pass
         finally:

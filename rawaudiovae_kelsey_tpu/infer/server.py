@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time as _time
 from concurrent.futures import Future
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -51,6 +52,9 @@ class InferenceServer:
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # serializes submit-vs-stop so a request can't slip into the queue
+        # after stop() drained it (the caller would hang on its future)
+        self._lock = threading.Lock()
 
         self._encode = jax.jit(lambda x: model.encode(params, x))
         if quantize and model.name == "dense":
@@ -76,8 +80,15 @@ class InferenceServer:
 
     # ------------------------------------------------------------- public --
     def start(self) -> "InferenceServer":
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        """Idempotent and restartable: a live worker is reused (a second
+        concurrent worker would race the RNG tick), and start() after
+        stop() brings the server back up."""
+        with self._lock:
+            if self._thread is not None and self._thread.is_alive():
+                return self
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
         return self
 
     def stop(self) -> None:
@@ -85,16 +96,17 @@ class InferenceServer:
         if self._thread is not None:
             self._thread.join(timeout=10)
         # fail any still-queued requests so callers blocked on result()
-        # don't hang forever
-        try:
-            while True:
-                req = self._q.get_nowait()
-                if not req.future.done():
-                    req.future.set_exception(
-                        RuntimeError("inference server stopped")
-                    )
-        except queue.Empty:
-            pass
+        # don't hang forever (the lock excludes in-flight submits)
+        with self._lock:
+            try:
+                while True:
+                    req = self._q.get_nowait()
+                    if not req.future.done():
+                        req.future.set_exception(
+                            RuntimeError("inference server stopped")
+                        )
+            except queue.Empty:
+                pass
 
     def __enter__(self):
         return self.start()
@@ -127,28 +139,55 @@ class InferenceServer:
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 1:
             return frame_audio(audio, self.model.segment_length, hop)
+        # validate pre-framed input HERE, in the caller's thread: a bad
+        # width inside the worker's np.concatenate would poison every
+        # innocent request coalesced into the same group
+        seg = self.model.segment_length
+        if audio.ndim != 2 or audio.shape[1] != seg:
+            raise ValueError(
+                f"pre-framed input must be (n, {seg}); got {audio.shape}"
+            )
         return audio
 
+    def _empty_result(self, req: _Request):
+        """Zero frames (e.g. hop-mode audio shorter than one segment) is a
+        well-defined empty answer; resolving it here keeps the behavior
+        identical whether or not the request would have coalesced."""
+        lat, seg = self.model.latent_dim, self.model.segment_length
+        if req.kind == "encode":
+            return (np.zeros((0, lat), np.float32),
+                    np.zeros((0, lat), np.float32))
+        if req.kind == "decode":
+            return np.zeros((0, seg), np.float32)
+        return np.zeros(0, np.float32)  # reconstruct → empty waveform
+
     def _submit(self, req: _Request) -> Future:
-        if self._thread is None or not self._thread.is_alive():
-            raise RuntimeError("server not started")
-        self._q.put(req)
+        if len(req.frames) == 0:
+            req.future.set_result(self._empty_result(req))
+            return req.future
+        with self._lock:
+            if (self._stop.is_set() or self._thread is None
+                    or not self._thread.is_alive()):
+                raise RuntimeError("server not started")
+            self._q.put(req)
         return req.future
 
     def _worker(self) -> None:
+        carry: Optional[_Request] = None  # kind-mismatched head, served next
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                try:
+                    first = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             group: List[_Request] = [first]
             rows = len(first.frames)
             # coalesce same-kind requests up to one device batch; the
             # deadline SHRINKS so max_wait_ms bounds the added latency of
             # the first request (a fresh timeout per get() would let it
             # wait batch_size x max_wait in a slow trickle)
-            import time as _time
-
             deadline = _time.monotonic() + self.max_wait_s
             while rows < self.batch_size:
                 left = deadline - _time.monotonic()
@@ -159,7 +198,10 @@ class InferenceServer:
                 except queue.Empty:
                     break
                 if nxt.kind != first.kind:
-                    self._q.put(nxt)  # different executable; next round
+                    # different executable: HEADS the next group (requeueing
+                    # at the back would let sustained same-kind traffic
+                    # starve it indefinitely)
+                    carry = nxt
                     break
                 group.append(nxt)
                 rows += len(nxt.frames)
@@ -169,6 +211,9 @@ class InferenceServer:
                 for r in group:
                     if not r.future.done():
                         r.future.set_exception(e)
+        if carry is not None and not carry.future.done():
+            carry.future.set_exception(
+                RuntimeError("inference server stopped"))
 
     def _run_group(self, group: List[_Request]) -> None:
         kind = group[0].kind
@@ -177,6 +222,8 @@ class InferenceServer:
         # split results back per request
         offsets = np.cumsum([0] + [len(r.frames) for r in group])
         for r, lo, hi in zip(group, offsets[:-1], offsets[1:]):
+            if r.future.done():  # caller cancelled/timed out — skip
+                continue
             if kind == "encode":
                 r.future.set_result((outs[0][lo:hi], outs[1][lo:hi]))
             elif kind == "decode":

@@ -176,3 +176,76 @@ def test_stress_mixed_kinds_no_races(server):
                 np.testing.assert_array_equal(decs[key], out)
             else:
                 decs[key] = out
+
+
+def test_bad_hop_is_400(server):
+    """hop=0 (ZeroDivision), negative hop, and non-divisor hops are client
+    errors, not 500s (review regression)."""
+    import json
+
+    _, body = _wav_body()
+    for hop in (0, -64, 7):
+        status, _, data = _post(server.port, f"/reconstruct?hop={hop}", body)
+        assert status == 400, (hop, status, data)
+        assert "hop" in json.loads(data)["error"]
+
+
+def test_short_audio_hop_mode_is_consistent_empty(server):
+    """Audio shorter than one segment in hop mode is a well-defined empty
+    answer — the same whether or not the request coalesced (review
+    regression: alone it 500'd with 'tuple index out of range')."""
+    backend = server.backend
+    short = np.full(100, 0.2, np.float32)
+    out = backend.reconstruct(short, hop=64).result(120)
+    assert out.shape == (0,)
+    mu, logvar = backend.encode(short, hop=64).result(120)
+    assert mu.shape == (0, LATENT) and logvar.shape == (0, LATENT)
+
+
+def test_malformed_prebatched_request_fails_only_itself(server):
+    """A 2-D submission with the wrong frame width must fail in the caller's
+    thread, never poisoning innocent requests coalesced into its group
+    (review regression)."""
+    backend = server.backend
+    with pytest.raises(ValueError, match="pre-framed"):
+        backend.encode(np.zeros((2, SEG + 5), np.float32))
+    # the server still works for everyone else
+    wave = np.full(SEG * 2, 0.1, np.float32)
+    out = backend.reconstruct(wave).result(120)
+    assert out.shape == (SEG * 2,)
+
+
+def test_backend_restarts_after_stop():
+    """start() after stop() must bring the worker back (review regression:
+    the stop event was never cleared, leaving a permanently dead server);
+    start() on a live server must not spawn a second racing worker."""
+    cfg = Config()
+    cfg.audio.segment_length = SEG
+    cfg.vae.n_units = 32
+    cfg.vae.latent_dim = LATENT
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    from rawaudiovae_kelsey_tpu.infer import InferenceServer
+
+    srv = InferenceServer(model, params, batch_size=8).start()
+    t_first = srv._thread
+    assert srv.start()._thread is t_first  # idempotent, no second worker
+    wave = np.full(SEG, 0.1, np.float32)
+    assert srv.reconstruct(wave).result(120).shape == (SEG,)
+    srv.stop()
+    with pytest.raises(RuntimeError, match="not started"):
+        srv.reconstruct(wave)
+    srv.start()
+    assert srv.reconstruct(wave).result(120).shape == (SEG,)
+    srv.stop()
+
+
+def test_oversized_body_is_413(server):
+    """A huge declared Content-Length is rejected before buffering."""
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.putrequest("POST", "/reconstruct")
+    conn.putheader("Content-Length", str(1 << 33))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
