@@ -10,6 +10,7 @@ tests against the reference's ``__getitem__`` math.
 from __future__ import annotations
 
 import random
+import threading
 from pathlib import Path
 from typing import Iterator, List, Optional
 
@@ -121,7 +122,8 @@ class StreamingFrameDataset:
                  segment_length: int, shuffle: bool = True,
                  mono: str = "first", seed: Optional[int] = None,
                  host_id: int = 0, num_hosts: int = 1,
-                 decode_workers: int = 2):
+                 decode_workers: int = 2,
+                 cache_budget_bytes: int = 4 << 30):
         self.audio_folder = Path(audio_folder)
         self.sampling_rate = sampling_rate
         self.hop_size = hop_size
@@ -134,8 +136,15 @@ class StreamingFrameDataset:
             f for i, f in enumerate(files) if i % num_hosts == host_id
         ]
         self.num_files = len(self.audio_file_list)
-        self._cache: dict = {}
+        # decoded-file cache, BOUNDED: an unbounded cache on a corpus larger
+        # than host RAM would OOM the host-fed streaming path mid-pass (the
+        # reference streamed in O(1 file) memory).  Insertion-order eviction;
+        # sized by the strided view's base buffer, not the inflated view.
+        self._cache: "dict[Path, np.ndarray]" = {}
+        self._cache_lock = threading.Lock()
+        self._cache_used = 0
         self.cache_decoded = True
+        self.cache_budget_bytes = cache_budget_bytes
         # decode-ahead pool: overlaps wav decode/resample of upcoming files
         # with training (the reference's DataLoader ran with num_workers=0 —
         # zero overlap, SURVEY.md §2)
@@ -145,8 +154,22 @@ class StreamingFrameDataset:
         # random.sample(list, len(list)) semantics of dataset.py:42
         return self._rng.sample(self.audio_file_list, len(self.audio_file_list))
 
+    @staticmethod
+    def _frames_bytes(frames: np.ndarray) -> int:
+        # charge the underlying buffer, not the inflated strided view
+        # (as_strided wraps the buffer in stride_tricks' DummyArray, so walk
+        # the base chain and take the last real ndarray)
+        size = frames.nbytes
+        base = frames
+        while getattr(base, "base", None) is not None:
+            base = base.base
+            if isinstance(base, np.ndarray):
+                size = base.nbytes
+        return size
+
     def _file_frames(self, path: Path) -> np.ndarray:
-        cached = self._cache.get(path)
+        with self._cache_lock:
+            cached = self._cache.get(path)
         if cached is not None:
             return cached
         wave, _ = load(path, sr=self.sampling_rate, mono=self.mono)
@@ -154,7 +177,18 @@ class StreamingFrameDataset:
             wave, self.segment_length, self.hop_size
         )
         if self.cache_decoded:
-            self._cache[path] = frames
+            size = self._frames_bytes(frames)
+            with self._cache_lock:
+                if size <= self.cache_budget_bytes:
+                    self._cache[path] = frames
+                    self._cache_used += size
+                    # evict OLDEST entries (insertion order) until we fit;
+                    # never the entry just inserted
+                    while (self._cache_used > self.cache_budget_bytes
+                           and len(self._cache) > 1):
+                        oldest = next(iter(self._cache))
+                        old = self._cache.pop(oldest)
+                        self._cache_used -= self._frames_bytes(old)
         return frames
 
     def _file_plan(self) -> Iterator[Path]:
@@ -168,35 +202,66 @@ class StreamingFrameDataset:
         """Infinite stream of per-file frame arrays.  With
         ``decode_workers > 0`` upcoming files are decoded ahead on a thread
         pool so decode/resample overlaps training (the reference DataLoader
-        ran num_workers=0 — zero overlap)."""
+        ran num_workers=0 — zero overlap).  A full pass in which EVERY file
+        frames to zero rows (all files shorter than one segment) raises
+        instead of spinning forever."""
         if self.num_files == 0:
             raise FileNotFoundError(
                 f"no wav files in {self.audio_folder}"
             )
+        empty_streak = 0
+
+        def check_empty(frames: np.ndarray) -> bool:
+            nonlocal empty_streak
+            if len(frames):
+                empty_streak = 0
+                return True
+            empty_streak += 1
+            if empty_streak >= self.num_files:
+                raise FileNotFoundError(
+                    f"no usable wav files in {self.audio_folder}: every "
+                    f"file is shorter than one segment "
+                    f"({self.segment_length} samples)"
+                )
+            return False
+
         plan = self._file_plan()
         if self.decode_workers <= 0:
             for f in plan:
                 frames = self._file_frames(f)
-                if len(frames):
+                if check_empty(frames):
                     yield frames
             return
         from concurrent.futures import ThreadPoolExecutor
 
         depth = self.decode_workers + 1
         with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
-            pending = [pool.submit(self._file_frames, next(plan))
-                       for _ in range(depth)]
+            # in-flight map: the same file appearing twice inside the decode
+            # window (few-files corpora) shares one decode instead of
+            # redundantly decoding it per slot
+            inflight: dict = {}
+
+            def submit(f: Path):
+                fut = inflight.get(f)
+                if fut is None or fut.done():
+                    fut = pool.submit(self._file_frames, f)
+                    inflight[f] = fut
+                return fut
+
+            pending = [submit(next(plan)) for _ in range(depth)]
             while True:
                 fut = pending.pop(0)
-                pending.append(pool.submit(self._file_frames, next(plan)))
+                pending.append(submit(next(plan)))
                 frames = fut.result()
-                if len(frames):
+                if check_empty(frames):
                     yield frames
 
     def release_cache(self) -> None:
         """Free the decoded per-file cache (frame counts stay memoized) —
         called once the resident trainer has uploaded the data to device."""
-        self._cache.clear()
+        with self._cache_lock:
+            self._cache.clear()
+            self._cache_used = 0
 
     def frame_counts(self) -> List[int]:
         """Streaming frame count per file (decodes once; memoized so the
@@ -242,30 +307,29 @@ class StreamingFrameDataset:
     def index_batches(self, batch_size: int) -> Iterator[np.ndarray]:
         """Batched form of :meth:`index_plan` — same chunking rule as
         :meth:`batches`."""
-        buf: List[np.ndarray] = []
-        have = 0
-        for idx in self.index_plan():
-            buf.append(idx)
-            have += len(idx)
-            while have >= batch_size:
-                chunk = np.concatenate(buf) if len(buf) > 1 else buf[0]
-                yield np.ascontiguousarray(chunk[:batch_size])
-                rest = chunk[batch_size:]
-                buf = [rest] if len(rest) else []
-                have = len(rest)
+        return _rebatch(self.index_plan(), batch_size)
 
     def batches(self, batch_size: int) -> Iterator[np.ndarray]:
         """Infinite stream of exact ``(batch_size, segment)`` batches,
         crossing file boundaries like the reference DataLoader did.  Bound it
         with itertools.islice (train_iterable.py:195)."""
-        buf: List[np.ndarray] = []
-        have = 0
-        for frames in self.frames_iter():
-            buf.append(frames)
-            have += len(frames)
-            while have >= batch_size:
-                chunk = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
-                yield np.ascontiguousarray(chunk[:batch_size])
-                rest = chunk[batch_size:]
-                buf = [rest] if len(rest) else []
-                have = len(rest)
+        return _rebatch(self.frames_iter(), batch_size)
+
+
+def _rebatch(stream: Iterator[np.ndarray],
+             batch_size: int) -> Iterator[np.ndarray]:
+    """Re-chunk a stream of variable-length arrays into exact
+    ``batch_size``-row batches, crossing input boundaries — ONE
+    implementation, because the index plan must replay the audio stream's
+    chunking bit-exactly (the resident stream trainer depends on it)."""
+    buf: List[np.ndarray] = []
+    have = 0
+    for arr in stream:
+        buf.append(arr)
+        have += len(arr)
+        while have >= batch_size:
+            chunk = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
+            yield np.ascontiguousarray(chunk[:batch_size])
+            rest = chunk[batch_size:]
+            buf = [rest] if len(rest) else []
+            have = len(rest)

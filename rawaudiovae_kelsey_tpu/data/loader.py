@@ -34,6 +34,7 @@ class DevicePrefetcher:
         self._cast_dtype = cast_dtype
         self._put_fn = put_fn
         self._stop = threading.Event()
+        self._done = False
         self._thread = threading.Thread(
             target=self._worker, args=(host_iter,), daemon=True
         )
@@ -45,8 +46,6 @@ class DevicePrefetcher:
                 if self._stop.is_set():
                     return
                 if self._cast_dtype is not None:
-                    import ml_dtypes  # numpy bf16 support (jax dependency)
-
                     batch = batch.astype(self._cast_dtype)
                 if self._put_fn is not None:
                     # multihost: assemble the global array from this host's
@@ -66,17 +65,27 @@ class DevicePrefetcher:
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            try:
-                self._q.put(self._SENTINEL, timeout=5)
-            except queue.Full:
-                pass
+            # the sentinel must NEVER be dropped: a consumer stalled in a
+            # long first compile (~50 s) outlasts any fixed timeout, and a
+            # lost sentinel means __next__ blocks forever AND a stored
+            # worker exception is never surfaced — retry until delivered
+            # or the consumer closes us
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            raise StopIteration  # iterator protocol: exhausted stays exhausted
         item = self._q.get()
         if item is self._SENTINEL:
+            self._done = True
             if self._err is not None:
                 raise self._err
             raise StopIteration
@@ -84,6 +93,7 @@ class DevicePrefetcher:
 
     def close(self):
         self._stop.set()
+        self._done = True  # a post-close __next__ must not block on _q.get
         # drain so the worker can exit
         try:
             while True:
@@ -107,10 +117,13 @@ def pad_batches_for_mesh(host_iter: Iterator, n_devices: int) -> Iterator:
     (repeating rows from the batch start).
 
     Needed because a batch sharded over the mesh ``data`` axis must divide
-    evenly.  Only the epoch trainer's final short batch (DataLoader
-    drop_last=False semantics, train.py:134) is ever affected; the repeated
-    rows slightly overweight those frames in that one mean-reduced loss —
-    documented divergence, negligible at real batch sizes.
+    evenly.  The caller must ensure ``batch_size % n_devices == 0`` (the
+    epoch driver validates this), so only the trainer's final short batch
+    (DataLoader drop_last=False semantics, train.py:134) is ever affected;
+    the repeated rows slightly overweight those frames in that one
+    mean-reduced loss — documented divergence, negligible at real batch
+    sizes.  Without the validation EVERY batch would wrap, silently
+    double-weighting the same rows all run long.
     """
     import numpy as np
 

@@ -168,6 +168,16 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         n_batches = int(np.min(counts))
         if n_batches == 0:
             raise ValueError("a host has fewer frames than one batch")
+    elif ctx.mesh is not None and batch_size % ctx.mesh.devices.size:
+        # pad_batches_for_mesh wrap-pads to the device count; with an
+        # indivisible batch_size that would repeat rows in EVERY batch,
+        # silently double-weighting them in every mean-reduced loss —
+        # reject the config instead (the final short batch stays the one
+        # documented wrap)
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by the mesh's "
+            f"{ctx.mesh.devices.size} devices for host-fed mesh training"
+        )
     else:
         n_batches = dataset.num_batches(batch_size)
     sharding = batch_sharding(ctx.mesh) if ctx.mesh is not None else None

@@ -231,3 +231,65 @@ def test_index_batches_replay_stream_exactly(stream_dir):
     for hb, idx in zip(itertools.islice(host.batches(bs), 15),
                        itertools.islice(resident.index_batches(bs), 15)):
         np.testing.assert_array_equal(hb, frames[idx])
+
+
+def test_streaming_all_files_too_short_raises(tmp_path):
+    """Review regression: a corpus in which EVERY file frames to zero rows
+    (all shorter than one segment) must raise, not busy-loop forever."""
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        write_wav(tmp_path / f"s{i}.wav",
+                  rng.uniform(-0.4, 0.4, 300).astype(np.float32), 44100)
+    for workers in (0, 2):
+        ds = StreamingFrameDataset(tmp_path, 44100, hop_size=128,
+                                   segment_length=1024, shuffle=False,
+                                   decode_workers=workers)
+        with pytest.raises(FileNotFoundError, match="shorter than one"):
+            next(ds.batches(4))
+
+
+def test_streaming_cache_budget_bounded(stream_dir):
+    """Review regression: the decoded-file cache must stay within its byte
+    budget (the host-fed path previously cached the whole corpus forever)."""
+    ds = StreamingFrameDataset(stream_dir, 44100, hop_size=128,
+                               segment_length=1024, shuffle=False,
+                               cache_budget_bytes=4096)
+    list(itertools.islice(ds.batches(4), 12))  # cycles all three files
+    assert ds._cache_used <= 4096
+    assert len(ds._cache) <= 1  # each decoded file is > the budget alone
+    ds.release_cache()
+    assert ds._cache_used == 0 and not ds._cache
+
+
+def test_prefetcher_exhaustion_is_sticky():
+    """Review regression: next() after StopIteration must keep raising
+    StopIteration (it used to block forever on the empty queue), and next()
+    after close() must not hang either."""
+    batches = [np.full((2, 4), i, np.float32) for i in range(3)]
+    feed = prefetch_to_device(iter(batches), depth=2)
+    assert len(list(feed)) == 3
+    with pytest.raises(StopIteration):
+        next(feed)
+    with pytest.raises(StopIteration):
+        next(feed)
+
+    feed2 = prefetch_to_device(iter(batches), depth=2)
+    next(feed2)
+    feed2.close()
+    with pytest.raises(StopIteration):
+        while True:
+            next(feed2)
+
+
+def test_streaming_few_files_shared_decode(stream_dir):
+    """A file appearing multiple times inside the decode-ahead window is
+    decoded once per window, and the stream order is unchanged."""
+    ds = StreamingFrameDataset(stream_dir, 44100, hop_size=128,
+                               segment_length=1024, shuffle=False,
+                               decode_workers=3)
+    ref = StreamingFrameDataset(stream_dir, 44100, hop_size=128,
+                                segment_length=1024, shuffle=False,
+                                decode_workers=0)
+    a = np.concatenate(list(itertools.islice(ds.frames_iter(), 9)))
+    b = np.concatenate(list(itertools.islice(ref.frames_iter(), 9)))
+    np.testing.assert_array_equal(a, b)

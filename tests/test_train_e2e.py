@@ -254,6 +254,20 @@ def test_resident_checkpoint_pipelining_bitexact(scratch_dataset):
     assert int(jax.device_get(restored.step)) == end_step * 3 // 5
 
 
+def test_epoch_mesh_indivisible_batch_size_rejected(scratch_dataset):
+    """Review regression: a batch_size not divisible by the mesh device
+    count would make pad_batches_for_mesh wrap rows in EVERY batch,
+    silently double-weighting them in every mean loss — the host-fed mesh
+    path must reject the config loudly instead."""
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.training.batch_size = 30  # 8 devices: indivisible
+    cfg.tpu.device_resident = "never"
+    with pytest.raises(ValueError, match="divisible by the mesh"):
+        train(cfg, verbose=False)
+
+
 def test_resident_interrupt_after_dispatch_ahead(scratch_dataset, capsys):
     """Review regression: a stop signal landing AFTER the boundary's
     dispatch-ahead decision but BEFORE the stop check must not return a
