@@ -143,5 +143,9 @@ def save_config(cfg: Config, path: Union[str, Path]) -> None:
         cp.set(section, key, raw)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "w") as fh:
+    # tmp+rename: the snapshot is rewritten mid-run (start and end), and a
+    # crash mid-write must never leave a torn config.ini behind
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "w") as fh:
         cp.write(fh)
+    tmp.rename(path)

@@ -53,6 +53,17 @@ class Workspace:
         return self.workdir / "console_log"
 
     def snapshot_config(self, cfg: Config) -> None:
+        # multihost: ONE writer — every process calls this (setup/finish in
+        # both drivers) with per-host-divergent fields (e.g. total_frames),
+        # and concurrent rewrites of the same file on shared storage would
+        # tear or last-writer-win with the wrong values
+        try:
+            import jax
+
+            if jax.process_index() != 0:
+                return
+        except ImportError:  # config layer stays usable without jax
+            pass
         save_config(cfg, self.config_path)
 
 
@@ -89,20 +100,26 @@ def open_workspace(workdir: Path) -> Workspace:
     return Workspace(workdir)
 
 
+def iter_runs(my_runs: Path) -> list[Path]:
+    """All ``run-*`` dirs under a description dir, numerically sorted
+    (lexicographic would put run-1000 before run-999).  The ONE
+    enumeration both ``latest_workspace`` and resume discovery build on."""
+
+    def run_id(p: Path) -> int:
+        try:
+            return int(p.name.split("-", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
+    return sorted((p for p in my_runs.glob("run-*") if p.is_dir()),
+                  key=run_id)
+
+
 def latest_workspace(cfg: Config, base: Path | None = None) -> Workspace | None:
     """Find the highest-numbered existing run dir, if any."""
     base = Path(cfg.dataset.datapath) if base is None else Path(base)
     my_runs = base / cfg.extra.description
     if not my_runs.is_dir():
         return None
-
-    def run_id(p):
-        try:
-            return int(p.name.split("-", 1)[1])
-        except (IndexError, ValueError):
-            return -1
-
-    # numeric sort: lexicographic would put run-1000 before run-999
-    runs = sorted((p for p in my_runs.glob("run-*") if p.is_dir()),
-                  key=run_id)
+    runs = iter_runs(my_runs)
     return Workspace(runs[-1]) if runs else None

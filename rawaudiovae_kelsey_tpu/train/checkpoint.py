@@ -115,6 +115,19 @@ def restore_checkpoint(path: Path, template: TrainState
             raise ValueError(
                 f"{path}: leaf shape {got.shape} != template {np.shape(want)}"
             )
+    # re-place each MESH-sharded leaf in the template's device layout:
+    # returning raw numpy would silently drop the shardings setup()
+    # established (e.g. model-parallel specs), so a resumed run would lay
+    # params out replicated — different memory/layouts than a fresh run.
+    # Single-device leaves stay numpy: device_put would COMMIT them to one
+    # device and conflict with the mesh-spanning leaves inside jit (a fresh
+    # state's scalars are uncommitted for the same reason).
+    leaves = [
+        jax.device_put(got, want.sharding)
+        if isinstance(want, jax.Array) and len(want.sharding.device_set) > 1
+        else got
+        for got, want in zip(leaves, t_leaves)
+    ]
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     return state, _read_meta(path.with_suffix(".json"))
 
@@ -137,19 +150,35 @@ def latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
 
 
 def save_params(path: Path, params: Any) -> Path:
-    """Params-only snapshot (best_model / last_model analog)."""
+    """Params-only snapshot (best_model / last_model analog).  Atomic like
+    :func:`save_checkpoint`: best/last are overwritten mid-run while eval/
+    serve/tutorial may be reading them, and a crash mid-write must never
+    tear the run's only model artifacts."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays, _ = _flatten_with_meta(params)
-    with open(path, "wb") as fh:
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
+    tmp.rename(path)
     return path
 
 
 def load_params(path: Path, template: Any) -> Any:
     with np.load(Path(path)) as npz:
         leaves = [npz[k] for k in sorted(npz.files)]
-    _, treedef = jax.tree_util.tree_flatten(template)
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    # same validation as restore_checkpoint: a wrong-architecture npz must
+    # fail HERE with a clear message, not deep inside the first encode
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"{path}: {len(leaves)} leaves but template has {len(t_leaves)}"
+        )
+    for got, want in zip(leaves, t_leaves):
+        if tuple(got.shape) != tuple(np.shape(want)):
+            raise ValueError(
+                f"{path}: leaf shape {got.shape} != template {np.shape(want)}"
+            )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

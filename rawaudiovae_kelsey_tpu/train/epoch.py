@@ -288,9 +288,12 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             print(f"Checkpoint - Epoch {epoch}")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, epoch)
-            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
+            # best gate FIRST so the checkpoint meta records this
+            # boundary's gate (resume would otherwise restore a one-
+            # interval-stale best_loss)
             L.maybe_save_best(ctx, train_loss, epoch,
                               cfg.training.save_best_model_after)
+            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
 
     if profiling:
         jax.profiler.stop_trace()
@@ -299,10 +302,10 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     print(f"Last Checkpoint - Epoch {final_epoch}")
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, epochs)
-    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)
     if np.isfinite(train_loss):
         L.maybe_save_best(ctx, train_loss, epochs,
                           cfg.training.save_best_model_after)
+    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)
     L.save_last(ctx)
     return ctx
 
@@ -577,10 +580,12 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                     L.log_param_histograms(ctx, epoch)
                 if cfg.dataset.generate_test and not recon_done:
                     L.reconstruct_test_set(ctx, epoch)
-                L.save_periodic_checkpoint(ctx, {"epoch": epoch},
-                                           label=epoch)
+                # best gate first: the checkpoint meta must record this
+                # boundary's gate, not last interval's
                 L.maybe_save_best(ctx, train_loss, epoch,
                                   cfg.training.save_best_model_after)
+                L.save_periodic_checkpoint(ctx, {"epoch": epoch},
+                                           label=epoch)
         finally:
             if live is not None:
                 ctx.state = live
@@ -610,10 +615,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         L.log_param_histograms(ctx, final_epoch)
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, epochs)
-    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)
     if np.isfinite(train_loss):
         L.maybe_save_best(ctx, train_loss, epochs,
                           cfg.training.save_best_model_after)
+    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)
     L.save_last(ctx)
     return ctx
 

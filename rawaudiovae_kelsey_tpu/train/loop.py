@@ -150,15 +150,26 @@ def _make_workspace_coordinated(cfg: Config) -> Workspace:
 
     from rawaudiovae_kelsey_tpu.config.workspace import open_workspace
 
+    LIMIT = 4096
     if jax.process_index() == 0:
         ws = create_workspace(cfg)
         raw = str(ws.workdir.resolve()).encode()
+        # length-prefixed so an over-long path fails CLEANLY on every
+        # process (raising on the coordinator alone would leave the
+        # others blocked in the broadcast forever)
+        n = len(raw) if len(raw) <= LIMIT else 0xFFFFFFFF
     else:
-        raw = b""
-    buf = np.zeros(1024, np.uint8)
-    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
-    shared = multihost_utils.broadcast_one_to_all(buf)
-    path = bytes(np.asarray(shared)).rstrip(b"\x00").decode()
+        raw, n = b"", 0
+    buf = np.zeros(4 + LIMIT, np.uint8)
+    buf[:4] = np.frombuffer(np.uint32(n).tobytes(), np.uint8)
+    buf[4: 4 + min(len(raw), LIMIT)] = np.frombuffer(raw[:LIMIT], np.uint8)
+    shared = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int(np.frombuffer(bytes(shared[:4]), np.uint32)[0])
+    if n == 0xFFFFFFFF:
+        raise ValueError(
+            f"workspace path exceeds the {LIMIT}-byte broadcast limit"
+        )
+    path = bytes(shared[4: 4 + n]).decode()
     cfg.dataset.workspace = path
     if jax.process_index() == 0:
         return ws
@@ -177,18 +188,13 @@ def _find_resume_checkpoint(cfg: Config,
                             exclude: Optional[Path] = None) -> Optional[Path]:
     """Newest checkpoint across prior runs of this description, skipping the
     just-created (empty) workspace."""
+    from rawaudiovae_kelsey_tpu.config.workspace import iter_runs
+
     my_runs = cfg.dataset.datapath_path / cfg.extra.description
     if not my_runs.is_dir():
         return None
 
-    def run_id(p):
-        try:
-            return int(p.name.split("-", 1)[1])
-        except (IndexError, ValueError):
-            return -1
-
-    for run in sorted((p for p in my_runs.glob("run-*") if p.is_dir()),
-                      key=run_id, reverse=True):
+    for run in reversed(iter_runs(my_runs)):
         if exclude is not None and run.resolve() == Path(exclude).resolve():
             continue
         found = ckpt.latest_checkpoint(Workspace(run).checkpoint_dir)
@@ -234,8 +240,12 @@ def reconstruct_test_set(ctx: TrainContext, step_label: int) -> np.ndarray:
         if n % n_dev:  # pad to the mesh, truncate after
             pad = n_dev - n % n_dev
             batch = np.concatenate([batch, batch[:1].repeat(pad, 0)], axis=0)
+        # hand jit the host array: identical on every process, so jit
+        # places/replicates it per the step's lowering (a pre-committed
+        # local jnp array also works on current jax, verified 2-process,
+        # but numpy is the layout-agnostic form)
         recon = ctx.eval_step(params, jax.random.fold_in(key, i),
-                              jnp.asarray(batch))
+                              np.ascontiguousarray(batch, np.float32))
         if jax.process_count() > 1:
             # global array spans processes — gather it everywhere first
             from jax.experimental import multihost_utils
@@ -265,11 +275,25 @@ def reconstruct_test_set(ctx: TrainContext, step_label: int) -> np.ndarray:
     return wave
 
 
+def _host_params(params):
+    """Params as host arrays, safe for sharded multi-process state: a plain
+    device_get crashes on non-fully-addressable arrays (e.g. model-parallel
+    over DCN).  Collective when gathering — every process must call this at
+    the same point (all callers are driver actions all processes reach)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if all(not isinstance(l, jax.Array) or l.is_fully_addressable
+           for l in leaves):
+        return jax.device_get(params)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(params, tiled=True)
+
+
 def log_param_histograms(ctx: TrainContext, step: int) -> None:
     """Per-parameter histograms with torch-style dotted names
     (train.py:203-204).  For the dense model the tags match the reference
     exactly (``fc1.weight`` …) via the compat layout."""
-    params = jax.device_get(ctx.state.params)
+    params = _host_params(ctx.state.params)
     if ctx.model.name == "dense":
         from rawaudiovae_kelsey_tpu.compat import params_to_state_dict
 
@@ -302,12 +326,16 @@ def maybe_save_best(ctx: TrainContext, train_loss: float, step_label: int,
     ``train_loss_prev`` started at 1e6 and was never updated — quirk #7)."""
     if step_label > after and train_loss < ctx.best_loss:
         ctx.best_loss = train_loss
+        # BEFORE the process gate: every process's cfg must agree (the
+        # config snapshot is written by process 0, and a collective host
+        # gather needs all processes)
+        ctx.cfg.training.best_epoch = str(step_label)
+        host = _host_params(ctx.state.params)
         path = ctx.workspace.model_dir / "best_model.npz"
         if jax.process_index() != 0:
             return True
-        ckpt.save_params(path, ctx.state.params)
+        ckpt.save_params(path, host)
         print(f"Step {step_label:05d}: Saved {path}")
-        ctx.cfg.training.best_epoch = str(step_label)
         return True
     elif train_loss > ctx.best_loss:
         print("Loss did not improve.")
@@ -316,9 +344,10 @@ def maybe_save_best(ctx: TrainContext, train_loss: float, step_label: int,
 
 def save_last(ctx: TrainContext) -> Path:
     path = ctx.workspace.model_dir / "last_model.npz"
+    host = _host_params(ctx.state.params)  # collective — before the gate
     if jax.process_index() != 0:
         return path
-    ckpt.save_params(path, ctx.state.params)
+    ckpt.save_params(path, host)
     print("Training Finished: Saved the last model")
     return path
 

@@ -226,13 +226,14 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
                   f"({interval * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
-            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
-                                       label=batch_id)
-            # best gate on the mean loss of this checkpoint interval (the
-            # reference compared a cumulative sum against a constant — both
-            # degenerate; see DIVERGENCES.md)
+            # best gate FIRST — on the mean loss of this checkpoint interval
+            # (the reference compared a cumulative sum against a constant —
+            # both degenerate; see DIVERGENCES.md) — so the checkpoint meta
+            # records this boundary's gate, not last interval's
             interval_mean = window_loss / max(window_count, 1)
             L.maybe_save_best(ctx, interval_mean, batch_id, after=0)
+            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
+                                       label=batch_id)
             window_loss, window_count = 0.0, 0
             # restart AFTER checkpoint I/O so the reported frames/s measures
             # the training window, not eval/save traffic
@@ -243,12 +244,12 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     print(f"Last Checkpoint - Batch {total_num_batches}")
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, total_num_batches)
-    L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
-                               label=total_num_batches)
     if window_count:  # an empty window (final batch == a checkpoint
         # boundary) must not feed the best gate a fake 0.0
         L.maybe_save_best(ctx, window_loss / window_count,
                           total_num_batches, after=0)
+    L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
+                               label=total_num_batches)
     L.save_last(ctx)
     return ctx
 
@@ -571,10 +572,11 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                   f"({interval * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
-            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
-                                       label=batch_id)
+            # best gate first: the meta must record this boundary's gate
             L.maybe_save_best(ctx, window_loss / max(window_count, 1),
                               batch_id, after=0)
+            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
+                                       label=batch_id)
             window_loss, window_count = 0.0, 0
             ctx.timer.start()  # exclude checkpoint I/O from the next window
 
@@ -582,10 +584,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     print(f"Last Checkpoint - Batch {total_num_batches}")
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, total_num_batches)
-    L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
-                               label=total_num_batches)
     if window_count:
         L.maybe_save_best(ctx, window_loss / window_count,
                           total_num_batches, after=0)
+    L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
+                               label=total_num_batches)
     L.save_last(ctx)
     return ctx

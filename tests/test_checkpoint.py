@@ -200,3 +200,59 @@ def test_orbax_driver_roundtrip(cfg, tmp_path):
     (p / "meta.json").write_text("{tor")
     _, meta2 = restore_checkpoint(p, _mk(cfg, seed=2)[2])
     assert meta2 == {}
+
+
+def test_load_params_shape_mismatch_rejected(cfg, tmp_path):
+    """Review regression: a wrong-architecture best/last npz must fail at
+    load with a clear message, not deep inside the first encode."""
+    model, opt, state = _mk(cfg)
+    p = save_params(tmp_path / "best_model.npz", state.params)
+    cfg2 = Config()
+    cfg2.audio.segment_length = 256  # different arch, same leaf count
+    cfg2.vae.n_units = 64
+    cfg2.vae.latent_dim = 16
+    wrong_template = build_model(cfg2).init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="shape"):
+        load_params(p, wrong_template)
+
+
+def test_save_params_atomic(cfg, tmp_path):
+    """Review regression: best/last model writes go through tmp+rename so a
+    concurrent reader or crash never sees a torn file."""
+    model, opt, state = _mk(cfg)
+    path = tmp_path / "best_model.npz"
+    save_params(path, state.params)
+    before = path.read_bytes()
+    save_params(path, state.params)  # overwrite in place
+    assert path.read_bytes() == before
+    assert not list(tmp_path.glob("*.tmp"))  # no tmp residue
+
+
+def test_restore_preserves_template_mesh_sharding(cfg, tmp_path):
+    """Review regression: restore must re-place mesh-sharded leaves in the
+    template's layout (raw numpy would drop model-parallel shardings), while
+    single-device scalars stay uncommitted (committing them to one device
+    conflicts with mesh leaves inside jit)."""
+    from rawaudiovae_kelsey_tpu.parallel import (
+        make_mesh,
+        named_shardings,
+        param_specs,
+    )
+
+    model, opt, state = _mk(cfg)
+    p = save_checkpoint(tmp_path, state)
+
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    params = build_model(cfg).init(jax.random.PRNGKey(0))
+    specs = param_specs(model.name, params, 2)
+    params = jax.device_put(params, named_shardings(mesh, specs))
+    template = TrainState.create(params, opt.init(params), seed=0)
+    restored, _ = restore_checkpoint(p, template)
+    got = restored.params["fc1"]["w"]
+    assert isinstance(got, jax.Array)
+    assert got.sharding == params["fc1"]["w"].sharding
+    # values intact through the re-placement
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(got)),
+        np.asarray(jax.device_get(state.params["fc1"]["w"])),
+    )
