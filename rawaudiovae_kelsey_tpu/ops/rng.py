@@ -42,8 +42,10 @@ def _bits_to_unit_open(bits: jax.Array) -> jax.Array:
 
 
 def _reparam_kernel(seed_ref, mu_ref, logvar_ref, z_ref):
-    # distinct stream per batch tile
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # distinct stream per batch tile; BOTH key words feed the seed (a
+    # single 32-bit word would birthday-collide over long runs, replaying
+    # bit-identical noise tensors)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
     shape = mu_ref.shape
     u1 = _bits_to_unit_open(
         pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -63,17 +65,25 @@ def _reparam_kernel(seed_ref, mu_ref, logvar_ref, z_ref):
 def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
     """On-chip ``z = mu + eps·exp(0.5·logvar)`` with TPU-PRNG Gaussian eps.
 
-    ``seed``: int32 scalar (fold your step counter in on the host side).
-    Off-TPU the TPU PRNG primitives have no interpreter support, so a
-    threefry-based Box-Muller with the same shape contract runs instead
-    (the sampling stream is platform-specific either way).
+    ``seed``: int32 scalar or 2-vector (e.g. both words of a folded
+    threefry key; a scalar is zero-extended).  Off-TPU the TPU PRNG
+    primitives have no interpreter support, so a threefry-based Box-Muller
+    with the same shape contract runs instead (the sampling stream is
+    platform-specific either way).
 
     Differentiable via a custom VJP (reverse-mode AD cannot trace through a
     raw pallas_call): with eps independent of the inputs,
     ``dz/dmu = 1`` and ``dz/dlogvar = ½·eps·std = ½·(z − mu)``.
     """
+    seed = jnp.asarray(seed, jnp.int32).ravel()
+    if seed.shape[0] < 2:
+        seed = jnp.concatenate([seed, jnp.zeros(2 - seed.shape[0],
+                                                jnp.int32)])
     if _interpret():
-        key = jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32))
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(seed[0].astype(jnp.uint32)),
+            seed[1].astype(jnp.uint32),
+        )
         u1 = jax.random.uniform(key, mu.shape, jnp.float32,
                                 minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
         u2 = jax.random.uniform(jax.random.fold_in(key, 1), mu.shape)
@@ -84,7 +94,7 @@ def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
     mu2, n = _pad_batch(mu, block_b)
     logvar2, _ = _pad_batch(logvar, block_b)
     B, latent = mu2.shape
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    seed_arr = seed  # normalized (2,) int32 above
     with mosaic_precision_scope():
         z = pl.pallas_call(
             _reparam_kernel,

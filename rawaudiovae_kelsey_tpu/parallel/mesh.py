@@ -55,23 +55,26 @@ def maybe_initialize_distributed(coordinator_address: str = "",
     """Multi-host (DCN) bring-up via the standard JAX runtime.
 
     On TPU pods the arguments come from the environment and all three can be
-    left empty; explicit values support manual clusters.  Safe to call when
-    already initialized or single-host (returns False on no-op).
-    """
-    if jax.process_count() > 1:
-        return True  # already initialized
-    try:
-        kwargs = {}
-        if coordinator_address:
-            kwargs["coordinator_address"] = coordinator_address
-        if num_processes > 0:
-            kwargs["num_processes"] = num_processes
-        if process_id >= 0:
-            kwargs["process_id"] = process_id
-        jax.distributed.initialize(**kwargs)
+    left empty; explicit values support manual clusters.  Idempotent when
+    already initialized.  MUST run before anything touches the XLA backend
+    — the guard is ``jax.distributed.is_initialized()``, NOT
+    ``jax.process_count()``, because process_count itself initializes the
+    backend and would make the subsequent ``jax.distributed.initialize``
+    raise unconditionally.  Failures propagate: the user asked for
+    multihost ([tpu] multihost / explicit coordinator), and silently
+    degrading would have every host train its own independent copy into
+    the shared workspace."""
+    if jax.distributed.is_initialized():
         return True
-    except Exception:
-        return False
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes > 0:
+        kwargs["num_processes"] = num_processes
+    if process_id >= 0:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def host_shard_info() -> tuple[int, int]:

@@ -304,7 +304,7 @@ def build_resident_epoch_sharded(
         raise ValueError(
             f"{n_local} frames/shard < one local batch of {local_bs}"
         )
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = make_loss_fn(model, cfg, mesh=mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     prec = _matmul_precision(cfg.tpu.precision)
     reduce = (jax.lax.psum

@@ -50,15 +50,18 @@ def dense_param_specs(params: Any) -> Any:
     }
 
 
-def _deep_linear_spec(w_shape) -> P:
-    """Shard a hidden Linear on whichever dim is a hidden dim; keep the
-    reparameterized latent/segment dims replicated by sharding the larger
-    axis (column-parallel) — safe because consecutive splits alternate with
-    XLA-inserted collectives."""
-    fan_in, fan_out = w_shape
-    if fan_out >= fan_in:
-        return P(None, MODEL_AXIS)
-    return P(MODEL_AXIS, None)
+_COL = {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)}  # output sharded
+_ROW = {"w": P(MODEL_AXIS, None), "b": P()}            # input sharded, psum
+
+
+def _deep_chain_specs(n: int) -> list:
+    """Megatron alternation for a Linear chain: column-parallel then
+    row-parallel, pairwise — layer k's sharded output feeds layer k+1's
+    sharded input with NO collective between them; one reduce per pair.
+    (The old larger-dim rule made every constant-width hidden layer
+    column-parallel — an activation all-gather per layer — and feature-
+    sharded the segment axis on boundary layers where seg > hidden.)"""
+    return [dict(_COL) if i % 2 == 0 else dict(_ROW) for i in range(n)]
 
 
 def param_specs(model_name: str, params: Any, model_parallel: int) -> Any:
@@ -69,15 +72,23 @@ def param_specs(model_name: str, params: Any, model_parallel: int) -> Any:
     if model_name == "dense":
         return dense_param_specs(params)
     if model_name == "deep":
-        def spec_layer(layer):
-            wspec = _deep_linear_spec(layer["w"].shape)
-            bspec = P(MODEL_AXIS) if wspec == P(None, MODEL_AXIS) else P()
-            return {"w": wspec, "b": bspec}
+        enc = _deep_chain_specs(len(params["enc"]))
+        dec = _deep_chain_specs(len(params["dec"]))
+        if len(dec) % 2 == 1:
+            # the final decoder layer produces the SEGMENT axis — keep it
+            # replicated (row-parallel) even if the alternation lands on
+            # column-parallel here
+            dec[-1] = dict(_ROW)
+        # heads consume the last encoder activation: row-parallel if that
+        # activation is feature-sharded (last enc layer was column-
+        # parallel), else replicated (latent dims are small)
+        head = (dict(_ROW) if len(params["enc"]) % 2 == 1
+                else {"w": P(), "b": P()})
         return {
-            "enc": [spec_layer(l) for l in params["enc"]],
-            "dec": [spec_layer(l) for l in params["dec"]],
-            "mu_head": spec_layer(params["mu_head"]),
-            "logvar_head": spec_layer(params["logvar_head"]),
+            "enc": enc,
+            "dec": dec,
+            "mu_head": dict(head),
+            "logvar_head": dict(head),
         }
     # conv1d and anything else: replicate (small params)
     return jax.tree_util.tree_map(lambda _: P(), params)

@@ -8,10 +8,14 @@ the program rather than inferred, which makes comm placement auditable
 (exactly one pmean over ICI per step) and is the natural base for manual
 overlap tricks later.
 
-Semantics match the GSPMD step exactly for mean-reduced losses: each shard
-computes loss/grads on its ``B/n`` rows, pmean averages them — identical to
-the global-batch mean gradient (verified against the replicated step in
-tests/test_train_step.py).
+Reduction semantics match the GSPMD step for mean-reduced losses: each
+shard computes loss/grads on its ``B/n`` rows, pmean averages them —
+identical to the global-batch mean gradient.  The reparameterization NOISE
+is drawn per shard (the key is folded with the shard index), so losses and
+trajectories match the GSPMD step in distribution, not bit-for-bit — the
+gradient estimator is equivalent, individual steps are not
+(tests/test_train_step.py pins a 20-step trajectory to rtol 5% against the
+replicated step and exact cross-shard param replication).
 """
 
 from __future__ import annotations
@@ -50,7 +54,7 @@ def build_shard_map_train_step(
             "gradient accumulation; use build_train_step (GSPMD) for "
             "microbatch_size > 0"
         )
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = make_loss_fn(model, cfg, mesh=mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     seg = model.segment_length
     prec = _matmul_precision(cfg.tpu.precision)

@@ -42,7 +42,8 @@ def _matmul_precision(name: str) -> str:
             "bfloat16": "default"}[name]
 
 
-def _make_loss_fn(model: ModelDef, cfg: Config, weighted: bool) -> Callable:
+def _make_loss_fn(model: ModelDef, cfg: Config, weighted: bool,
+                  mesh=None) -> Callable:
     """Shared builder for the plain and row-weighted loss functions — the
     forward flow (bf16 casting, encode, reparameterize, decode) is
     identical; only the reduction differs."""
@@ -51,14 +52,25 @@ def _make_loss_fn(model: ModelDef, cfg: Config, weighted: bool) -> Callable:
     reduction = cfg.training.loss_reduction.split()[0]
     bf16 = cfg.tpu.precision == "bfloat16"
     tpu_prng = cfg.tpu.rng == "tpu_prng"
+    if tpu_prng and mesh is not None and mesh.devices.size > 1:
+        # the pallas PRNG seeds per grid position; GSPMD either replicates
+        # the custom call (defeating data parallelism) or restarts
+        # program_id per shard so different rows draw IDENTICAL eps —
+        # correlated noise that silently biases training.  Single-device
+        # only; under a mesh the threefry path keeps the contract.
+        print("[tpu] rng=tpu_prng is single-device only — using threefry "
+              "under the mesh")
+        tpu_prng = False
 
     def sample(key, mu, logvar):
         if tpu_prng:
             from rawaudiovae_kelsey_tpu.ops.rng import pallas_reparameterize
 
-            # derive a scalar seed from the (folded) threefry key words
-            seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
-            return pallas_reparameterize(seed, mu, logvar)
+            # pass BOTH words of the folded threefry key: keeping only the
+            # low 32 bits would birthday-collide within long runs (a
+            # repeated seed replays the exact same noise tensor)
+            words = jax.random.key_data(key).ravel()[-2:].astype(jnp.int32)
+            return pallas_reparameterize(words, mu, logvar)
         return model.reparameterize(key, mu, logvar)
 
     def forward(params, key, batch):
@@ -111,12 +123,14 @@ def _make_loss_fn(model: ModelDef, cfg: Config, weighted: bool) -> Callable:
     return loss_fn
 
 
-def make_loss_fn(model: ModelDef, cfg: Config) -> Callable:
-    """(params, key, batch) → (loss, (mse, kld)); all reductions fp32."""
-    return _make_loss_fn(model, cfg, weighted=False)
+def make_loss_fn(model: ModelDef, cfg: Config, mesh=None) -> Callable:
+    """(params, key, batch) → (loss, (mse, kld)); all reductions fp32.
+    Pass the mesh when the step runs sharded (gates single-device-only RNG
+    backends)."""
+    return _make_loss_fn(model, cfg, weighted=False, mesh=mesh)
 
 
-def make_weighted_loss_fn(model: ModelDef, cfg: Config) -> Callable:
+def make_weighted_loss_fn(model: ModelDef, cfg: Config, mesh=None) -> Callable:
     """(params, key, batch, row_weights) → (loss, (mse, kld)).
 
     Row-masked variant of :func:`make_loss_fn`: rows with weight 0 (e.g.
@@ -125,7 +139,7 @@ def make_weighted_loss_fn(model: ModelDef, cfg: Config) -> Callable:
     denominators count only real rows — so the result is bit-comparable to
     the unpadded computation.  Mirrors the reference loss semantics
     (``rawvae/model.py:38-46``) exactly on the surviving rows."""
-    return _make_loss_fn(model, cfg, weighted=True)
+    return _make_loss_fn(model, cfg, weighted=True, mesh=mesh)
 
 
 def build_train_step(
@@ -137,7 +151,7 @@ def build_train_step(
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Metrics]]:
     """Compile the full update.  The returned function maps
     ``(state, batch) → (state', metrics)`` with the state buffers donated."""
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = make_loss_fn(model, cfg, mesh=mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     micro = cfg.tpu.microbatch_size
     seg = model.segment_length

@@ -37,6 +37,15 @@ def train(cfg: Config, verbose: bool = True) -> L.TrainContext:
     if not datapath.exists():
         raise FileNotFoundError(datapath.resolve())
 
+    # distributed init must precede the jax.process_count() below — that
+    # call initializes the XLA backend, after which jax.distributed can no
+    # longer be brought up (setup()'s own call then no-ops, idempotent)
+    if cfg.tpu.multihost:
+        from rawaudiovae_kelsey_tpu.parallel.mesh import (
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed(cfg.tpu.coordinator_address)
     # device_resident="always" runs the single-device on-chip epoch loop —
     # skip mesh setup — EXCEPT under multihost, where a mesh-less "always"
     # would train one independent copy per process into the same

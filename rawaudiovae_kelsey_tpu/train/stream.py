@@ -401,14 +401,14 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # multiple and zero-weight them — grads and loss match the
         # unpadded sequence.  Multi-host: the global batch is the per-host
         # blocks concatenated, so the mask pattern tiles per host.
-        wloss_fn = make_weighted_loss_fn(ctx.model, cfg)
+        wloss_fn = make_weighted_loss_fn(ctx.model, cfg, mesh=mesh)
         wgrad_fn = jax.value_and_grad(wloss_fn, has_aux=True)
         row_w = jnp.tile(jnp.concatenate([
             jnp.ones(batch_size, jnp.float32),
             jnp.zeros(pad_rows, jnp.float32),
         ]), nproc if mesh is not None else 1)
     else:
-        loss_fn = make_loss_fn(ctx.model, cfg)
+        loss_fn = make_loss_fn(ctx.model, cfg, mesh=mesh)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     prec = _matmul_precision(cfg.tpu.precision)
 

@@ -627,3 +627,41 @@ def test_perf_recipe_combination_trains():
     assert np.isfinite(losses).all()
     # training makes progress across the grouped epochs
     assert losses[-1].mean() < losses[0].mean()
+
+
+def test_tpu_prng_falls_back_to_threefry_under_mesh(capsys):
+    """Review regression: the pallas PRNG seeds per grid position and can't
+    be partitioned across a mesh (identical eps per shard position) — a
+    multi-device mesh must route rng=tpu_prng back to threefry."""
+    from rawaudiovae_kelsey_tpu.parallel.step import make_loss_fn
+
+    cfg = small_cfg()
+    cfg.tpu.rng = "tpu_prng"
+    model, opt, state = make_state(cfg, seed=3)
+    mesh = make_mesh()  # 8 devices
+    loss_fn = make_loss_fn(model, cfg, mesh=mesh)
+    assert "threefry" in capsys.readouterr().out
+    batch = batch_of(cfg, n=16, seed=1)
+    loss, _ = loss_fn(state.params, jax.random.PRNGKey(0), batch)
+    # threefry path: bit-identical to the rng=threefry loss fn
+    cfg2 = small_cfg()
+    loss2, _ = make_loss_fn(model, cfg2)(state.params,
+                                         jax.random.PRNGKey(0), batch)
+    assert float(loss) == float(loss2)
+
+
+def test_pallas_reparameterize_uses_both_seed_words():
+    """Review regression: the kernel must consume both key words — a
+    truncated 32-bit seed would birthday-collide over long runs, replaying
+    identical noise tensors."""
+    from rawaudiovae_kelsey_tpu.ops import pallas_reparameterize
+
+    mu = np.zeros((8, 16), np.float32)
+    logvar = np.zeros((8, 16), np.float32)
+    same_low_a = np.asarray([7, 1], np.int32)
+    same_low_b = np.asarray([7, 2], np.int32)
+    za = np.asarray(pallas_reparameterize(same_low_a, mu, logvar))
+    zb = np.asarray(pallas_reparameterize(same_low_b, mu, logvar))
+    assert not np.array_equal(za, zb)  # second word matters
+    za2 = np.asarray(pallas_reparameterize(same_low_a, mu, logvar))
+    np.testing.assert_array_equal(za, za2)  # still deterministic
