@@ -137,6 +137,13 @@ def interpolate_stepwise(
             f"trajectory shapes differ: {mu_a.shape} vs {mu_b.shape} "
             "(match_audio_size the sources first)"
         )
+    if logvar_a.shape != mu_a.shape or logvar_b.shape != mu_b.shape:
+        # a (1, latent) logvar would broadcast silently, sampling with the
+        # wrong per-frame variance
+        raise ValueError(
+            f"logvar shapes {logvar_a.shape}/{logvar_b.shape} must match "
+            f"the mu trajectories {mu_a.shape}"
+        )
     outs = []
     for i, a in enumerate(np.asarray(alphas, np.float32)):
         mu = (1.0 - a) * mu_a + a * mu_b
@@ -148,10 +155,13 @@ def interpolate_stepwise(
 
 
 def sine_alfa(n_points: int = 20000, cycles: float = 500.0,
-              lo: float = 0.0, hi: float = 1.0) -> np.ndarray:
+              lo: float = -1.0, hi: float = 1.0) -> np.ndarray:
     """The reference's time-varying α source (cell 36:
-    ``np.sin(np.linspace(-cycles·π, cycles·π, n))``, cell 53 uses cycles=1),
-    rescaled from [-1, 1] into [lo, hi]."""
+    ``np.sin(np.linspace(-cycles·π, cycles·π, n))``, cell 53 uses cycles=1).
+    The reference lerps with the RAW sine in [-1, 1] — half the time the mix
+    extrapolates past source A, which is part of the audible effect — so
+    that is the default; pass ``lo=0.0`` for a pure within-endpoints
+    crossfade."""
     s = np.sin(np.linspace(-cycles * np.pi, cycles * np.pi, n_points))
     return (lo + (s + 1.0) * 0.5 * (hi - lo)).astype(np.float32)
 
@@ -180,6 +190,11 @@ def interpolate_timevarying(
     if mu_a.shape != mu_b.shape:
         raise ValueError(
             f"trajectory shapes differ: {mu_a.shape} vs {mu_b.shape}"
+        )
+    if logvar_a.shape != mu_a.shape or logvar_b.shape != mu_b.shape:
+        raise ValueError(
+            f"logvar shapes {logvar_a.shape}/{logvar_b.shape} must match "
+            f"the mu trajectories {mu_a.shape}"
         )
     a = stretch_alfa(alfa, len(mu_a))[:, None]  # (N, 1) broadcast over latent
     mu = (1.0 - a) * mu_a + a * mu_b
@@ -229,7 +244,10 @@ def encode_trajectory_sharded(model: ModelDef, params, audio: np.ndarray,
     mus, lvs = [], []
     for i in range(0, n, chunk):
         part = frames[i:i + chunk]
-        pad = -len(part) % n_dev
+        # pad the tail to the FULL chunk (not just a device multiple): a
+        # different tail shape would retrace/recompile the executable this
+        # loop exists to reuse
+        pad = chunk - len(part) if n > chunk else -len(part) % n_dev
         if pad:
             part = np.concatenate([part, part[:1].repeat(pad, 0)], axis=0)
         mu, logvar = encode(jax.device_put(part, sharding))

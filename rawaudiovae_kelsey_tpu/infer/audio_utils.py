@@ -45,10 +45,16 @@ def match_audio_size(a: np.ndarray, b: np.ndarray,
 
 def concat_random_audio(folder: Path, duration_s: float, sampling_rate: int,
                         mono: str = "mean",
-                        seed: Optional[int] = None) -> np.ndarray:
+                        seed: Optional[int] = None,
+                        resample: bool = False) -> np.ndarray:
     """Randomly pick wavs (with replacement across passes) until the
     concatenation reaches ``duration_s * sampling_rate`` samples; crop to
-    exactly that length."""
+    exactly that length.
+
+    The reference loads every file at its NATIVE rate (tutorial cells
+    24/41: ``librosa.load(path, sr=None)``) and crops by the target-rate
+    sample count — a quirk kept as the default; ``resample=True`` converts
+    each file to ``sampling_rate`` first."""
     files = sorted(Path(folder).glob("*.wav"))
     if not files:
         raise FileNotFoundError(f"no wav files in {folder}")
@@ -57,7 +63,8 @@ def concat_random_audio(folder: Path, duration_s: float, sampling_rate: int,
     parts = []
     total = 0
     while total < target:
-        wave, _ = load(rng.choice(files), sr=sampling_rate, mono=mono)
+        wave, _ = load(rng.choice(files),
+                       sr=sampling_rate if resample else None, mono=mono)
         parts.append(wave)
         total += len(wave)
     return np.concatenate(parts)[:target].astype(np.float32)

@@ -74,9 +74,14 @@ def train_som(
             bmu = jnp.argmin(d2, axis=1)                      # (n,)
             # neighborhood weight of every unit wrt each sample's BMU
             h = jnp.exp(-grid_d2[:, bmu] / (2.0 * sigma * sigma))  # (m, n)
-            denom = jnp.sum(h, axis=1, keepdims=True) + 1e-8
-            target = (h @ x) / denom                           # (m, dim)
-            return w + lr * (target - w)
+            support = jnp.sum(h, axis=1, keepdims=True)        # (m, 1)
+            target = (h @ x) / jnp.maximum(support, 1e-8)      # (m, dim)
+            # batch-SOM rule: a unit with no meaningful support HOLDS its
+            # position (otherwise the epsilon denominator makes target≈0
+            # and dead units get dragged to the origin, where they steal
+            # small-norm features at assignment time)
+            upd = w + lr * (target - w)
+            return jnp.where(support > 1e-6, upd, w)
 
         return jax.lax.fori_loop(0, iters, body, w0)
 

@@ -31,8 +31,13 @@ def overlap_add(frames: np.ndarray, hop: int,
     n, seg = frames.shape
     if n == 0:
         return np.zeros(0, np.float32)
-    if window == "hann":
-        # periodic hann (COLA-exact when hop divides seg)
+    if window == "hann" and hop >= seg:
+        # periodic hann is COLA only for hop = seg/k with k >= 2; at
+        # hop == seg its zero first sample would zero one sample per frame
+        # (a click train) — non-overlapping frames need no window at all
+        win = np.ones(seg, np.float32)
+    elif window == "hann":
+        # periodic hann (COLA-exact when hop divides seg, hop < seg)
         k = np.arange(seg)
         win = (0.5 - 0.5 * np.cos(2 * np.pi * k / seg)).astype(np.float32)
     elif window == "rect":

@@ -332,3 +332,54 @@ def test_som_artifacts_roundtrip_reference_schema(model_and_params, tmp_path):
     # artifacts resolve back to audio via the reference consumption path
     audio = som.concat_audio(audio_dir, ids[0], sr=44100)
     assert len(audio) >= SEG * 4
+
+
+def test_sine_alfa_reference_range():
+    """Review regression: the reference lerps with the RAW sine in [-1, 1]
+    (tutorial cell 36) — extrapolation past the endpoints is part of the
+    effect — so that must be the default."""
+    from rawaudiovae_kelsey_tpu.infer import sine_alfa
+
+    a = sine_alfa(4000, cycles=10.0)
+    assert a.min() == pytest.approx(-1.0, abs=1e-3)
+    assert a.max() == pytest.approx(1.0, abs=1e-3)
+    b = sine_alfa(4000, cycles=10.0, lo=0.0)
+    assert b.min() >= 0.0
+
+
+def test_overlap_add_nonoverlapping_is_exact():
+    """Review regression: hop == segment zeroed one sample per frame (the
+    periodic hann's first sample) — non-overlapping OLA must be exact."""
+    from rawaudiovae_kelsey_tpu.infer import overlap_add
+
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(-1, 1, (5, 64)).astype(np.float32)
+    out = overlap_add(frames, hop=64)
+    np.testing.assert_allclose(out, frames.reshape(-1), atol=1e-6)
+
+
+def test_interpolate_rejects_broadcastable_logvar(model_and_params):
+    """Review regression: a (1, latent) logvar must not silently broadcast."""
+    from rawaudiovae_kelsey_tpu.infer import interpolate_stepwise
+
+    model, params = model_and_params
+    mu = np.zeros((10, LATENT), np.float32)
+    bad_lv = np.zeros((1, LATENT), np.float32)
+    with pytest.raises(ValueError, match="logvar"):
+        interpolate_stepwise(model, params, mu, bad_lv, mu, bad_lv,
+                             deterministic=True)
+
+
+def test_som_dead_units_hold_position():
+    """Review regression: units that win no samples must hold their position
+    instead of decaying to the origin (where they'd steal small-norm
+    features at assignment time)."""
+    from rawaudiovae_kelsey_tpu.infer.som_train import train_som
+
+    rng = np.random.default_rng(1)
+    # all data in a tight cluster far from the origin
+    feats = (rng.normal(0, 0.05, (200, 8)) + 10.0).astype(np.float32)
+    codebook = train_som(feats, grid=(6, 6), iters=60, seed=0)
+    norms = np.linalg.norm(codebook, axis=1)
+    # nothing collapsed toward zero
+    assert norms.min() > 1.0
