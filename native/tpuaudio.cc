@@ -13,6 +13,7 @@
 //
 // Build: make -C native    (produces libtpuaudio.so)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -108,6 +109,12 @@ inline float decode_sample(const uint8_t* p, uint16_t tag, uint16_t bits) {
       } else if (bits == 64) {
         double d;
         std::memcpy(&d, p, 8);
+        // match the numpy codec's nan_to_num(posinf=1, neginf=-1, nan=0):
+        // a raw double->float cast of an out-of-range value is UB and
+        // would feed non-finite samples into training on this path only
+        if (std::isnan(d)) return 0.0f;
+        if (d > 3.4028234663852886e38) return 1.0f;
+        if (d < -3.4028234663852886e38) return -1.0f;
         return static_cast<float>(d);
       }
       return 0.0f;
@@ -128,6 +135,15 @@ int ta_wav_info(const uint8_t* data, int64_t len, int32_t* channels,
   int rc = parse(data, len, &fmt, &payload, &payload_len);
   if (rc != 0) return rc;
   if (fmt.tag != kPcm && fmt.tag != kFloat) return -5;
+  // reject depths decode_sample has no case for — otherwise the decoder
+  // would emit silence for them instead of deferring to the numpy codec's
+  // WavFormatError (the two paths must stay behaviorally identical)
+  if (fmt.tag == kPcm) {
+    if (fmt.bits != 8 && fmt.bits != 16 && fmt.bits != 24 && fmt.bits != 32)
+      return -7;
+  } else {  // kFloat
+    if (fmt.bits != 32 && fmt.bits != 64) return -7;
+  }
   int64_t frame_bytes = static_cast<int64_t>(fmt.channels) * (fmt.bits / 8);
   if (frame_bytes <= 0) return -6;
   *channels = fmt.channels;
@@ -190,19 +206,26 @@ extern "C" {
 
 // Castagnoli CRC32C over a buffer (for the TensorBoard TFRecord framing —
 // the pure-Python per-byte loop costs seconds on multi-MB audio events).
-uint32_t ta_crc32c(const uint8_t* data, int64_t len) {
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+namespace {
+// C++11 magic static: thread-safe one-time init (ctypes releases the GIL,
+// so concurrent first calls from Python threads are real)
+struct Crc32cTable {
+  uint32_t t[256];
+  Crc32cTable() {
     for (uint32_t n = 0; n < 256; ++n) {
       uint32_t c = n;
       for (int k = 0; k < 8; ++k) {
         c = (c & 1) ? (c >> 1) ^ 0x82F63B78u : c >> 1;
       }
-      table[n] = c;
+      t[n] = c;
     }
-    init = true;
   }
+};
+}  // namespace
+
+uint32_t ta_crc32c(const uint8_t* data, int64_t len) {
+  static const Crc32cTable tbl;
+  const uint32_t* table = tbl.t;
   uint32_t crc = 0xFFFFFFFFu;
   for (int64_t i = 0; i < len; ++i) {
     crc = table[(crc ^ data[i]) & 0xFFu] ^ (crc >> 8);

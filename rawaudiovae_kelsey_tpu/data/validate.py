@@ -85,7 +85,11 @@ def validate_dataset(folder: Path, sampling_rate: int,
             report.resample_needed.append(f.name)
         if deep:
             mono = samples.mean(axis=1)
-            if not np.isfinite(mono).all():
+            if mono.size == 0:
+                # a valid wav with an empty data chunk: report as silent
+                # (np.abs(...).max() would raise on the empty array)
+                report.silent.append(f.name)
+            elif not np.isfinite(mono).all():
                 report.nonfinite.append(f.name)
             elif float(np.abs(mono).max()) < 1e-5:
                 report.silent.append(f.name)

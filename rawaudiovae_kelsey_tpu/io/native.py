@@ -63,7 +63,9 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.ta_crc32c.restype = ctypes.c_uint32
             lib.ta_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale libtpuaudio.so missing a symbol — the
+        # contract is transparent fallback to the numpy codec, not a crash
         _lib = None
     return _lib
 
@@ -97,8 +99,12 @@ def decode_mono(path, mono: str = "mean",
             )
             if got >= 0:
                 return out[:got], int(rate.value)
-        # rc != 0 → fall through to the NumPy codec (it raises a proper
-        # WavFormatError with a useful message)
+        # rc != 0 → fall through to the NumPy codec on the bytes ALREADY
+        # in memory (it raises a proper WavFormatError with the filename)
+        from rawaudiovae_kelsey_tpu.io.wavio import decode_wav_bytes, to_mono
+
+        samples, sr = decode_wav_bytes(data, name=str(path))
+        return to_mono(samples, mode=mono), sr
     from rawaudiovae_kelsey_tpu.io.wavio import read_wav, to_mono
 
     samples, sr = read_wav(path)

@@ -22,6 +22,12 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Polyphase windowed-sinc resample of a 1-D float waveform."""
     if orig_sr == target_sr:
         return np.asarray(x, dtype=np.float32)
+    if orig_sr <= 0 or target_sr <= 0:
+        # a corrupt-but-parseable fmt chunk can carry rate=0; fail with a
+        # clear message instead of a ZeroDivision deep inside scipy
+        raise ValueError(
+            f"invalid sample rates for resampling: {orig_sr} -> {target_sr}"
+        )
     g = gcd(int(orig_sr), int(target_sr))
     up, down = target_sr // g, orig_sr // g
     # Kaiser beta 14.77 ≈ torchaudio's default "kaiser_window" quality
@@ -42,4 +48,5 @@ def load(path, sr: int | None = None, mono: str = "mean") -> tuple[np.ndarray, i
     if sr is not None and sr != native_sr:
         wave = resample(wave, native_sr, sr)
         native_sr = sr
-    return wave.astype(np.float32), native_sr
+    # both producers already return float32 — don't pay a copy per file
+    return np.asarray(wave, np.float32), native_sr

@@ -233,5 +233,13 @@ def wav_info(path: Union[str, Path]) -> Tuple[int, int, int, int]:
     if fmt is None:
         raise WavFormatError(f"{path}: missing fmt chunk")
     tag, channels, rate, bits = fmt
+    # same format gate as the decoders: a compressed file (e.g. ADPCM)
+    # would otherwise yield a garbage frame count that poisons header-only
+    # consumers (validate_dataset fast scan, stream frame estimates)
+    if tag not in (1, 3):
+        raise WavFormatError(f"{path}: unsupported format tag {tag}")
+    if (tag == 1 and bits not in (8, 16, 24, 32)) or \
+            (tag == 3 and bits not in (32, 64)):
+        raise WavFormatError(f"{path}: unsupported bit depth {bits}")
     frame_bytes = max(1, channels * (bits // 8))
     return payload_len // frame_bytes, channels, rate, bits

@@ -180,3 +180,62 @@ def test_wav_info_header_only(tmp_path):
     with pytest.raises(WavFormatError):
         (tmp_path / "bad.wav").write_bytes(b"nope")
         wav_info(tmp_path / "bad.wav")
+
+
+def _raw_wav(tag: int, bits: int, payload: bytes, channels=1,
+             rate=44100) -> bytes:
+    import struct
+
+    block = max(1, channels * (bits // 8))
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * block,
+                      block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_info_rejects_compressed_and_odd_depths(tmp_path):
+    """Review regression: header-only consumers (validate fast scan, stream
+    frame estimates) must see the same format gate as the decoders — an
+    ADPCM or 12-bit file previously yielded a garbage frame count."""
+    from rawaudiovae_kelsey_tpu.io import wav_info
+    from rawaudiovae_kelsey_tpu.io.wavio import WavFormatError
+
+    adpcm = tmp_path / "adpcm.wav"
+    adpcm.write_bytes(_raw_wav(0x11, 4, b"\x00" * 256))
+    with pytest.raises(WavFormatError, match="format tag"):
+        wav_info(adpcm)
+    odd = tmp_path / "odd.wav"
+    odd.write_bytes(_raw_wav(1, 12, b"\x00" * 256))
+    with pytest.raises(WavFormatError, match="bit depth"):
+        wav_info(odd)
+
+
+def test_native_unsupported_depth_matches_numpy(tmp_path):
+    """Review regression: the C++ path must REJECT depths it can't decode
+    (so the numpy codec raises), never return silence for them."""
+    from rawaudiovae_kelsey_tpu.io.native import decode_mono, native_available
+    from rawaudiovae_kelsey_tpu.io.wavio import WavFormatError
+
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    p = tmp_path / "odd.wav"
+    p.write_bytes(_raw_wav(1, 12, b"\x11" * 256))
+    with pytest.raises(WavFormatError):
+        decode_mono(p)
+
+
+def test_validate_deep_handles_empty_wav(tmp_path):
+    """Review regression: a valid wav with an empty data chunk must be
+    reported (silent), not crash the whole validation run."""
+    import numpy as np
+
+    from rawaudiovae_kelsey_tpu.data.validate import validate_dataset
+    from rawaudiovae_kelsey_tpu.io import write_wav
+
+    write_wav(tmp_path / "empty.wav", np.zeros(0, np.float32), 44100)
+    write_wav(tmp_path / "ok.wav",
+              np.sin(np.linspace(0, 30, 4000)).astype(np.float32), 44100)
+    rep = validate_dataset(tmp_path, 44100, deep=True)
+    assert "empty.wav" in rep.silent
+    assert not rep.corrupt
