@@ -142,6 +142,18 @@ def build_model(cfg: Config) -> ModelDef:
     raise ValueError(f"unknown arch {arch!r}")
 
 
+def tree_dotted_names(params):
+    """(dotted-name, leaf) pairs with torch-style names — the ONE place the
+    tree-path naming rule lives (model summaries and histogram tags must
+    agree)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    return [
+        (".".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                  for p in path), leaf)
+        for path, leaf in flat
+    ]
+
+
 def summarize(model: ModelDef, params) -> str:
     """Text model summary — the working interpretation of the reference's
     dead ``plot_model`` key (default.ini:37, quirk #9): layer-by-layer
@@ -152,10 +164,7 @@ def summarize(model: ModelDef, params) -> str:
              f"latent={model.latent_dim}"]
     total = 0
     total_bytes = 0
-    flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    for path, leaf in flat:
-        name = ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path)
+    for name, leaf in tree_dotted_names(params):
         n = int(np.prod(leaf.shape)) if leaf.shape else 1
         total += n
         total_bytes += n * np.dtype(leaf.dtype).itemsize

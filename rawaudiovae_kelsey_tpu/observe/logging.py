@@ -28,6 +28,12 @@ class Tee:
     def close(self) -> None:
         self._file.close()
 
+    def __getattr__(self, name):
+        # full stream stand-in: libraries probe sys.stdout for isatty/
+        # fileno/encoding/buffer while we're installed as stdout — delegate
+        # anything we don't override to the wrapped stream
+        return getattr(self._stream, name)
+
 
 class tee_stdout:
     """Context manager: ``with tee_stdout(path): ...`` routes stdout to both

@@ -128,18 +128,37 @@ def _event(payload_field: bytes, step: int = 0,
     return ev
 
 
-def _histogram_proto(values: np.ndarray) -> bytes:
-    """HistogramProto with tensorboard's standard exponential buckets."""
-    values = np.asarray(values, dtype=np.float64).ravel()
-    if values.size == 0:
-        values = np.zeros(1)
-    # bucket edges: ±1e-12 · 1.1^k, like tensorboard's default generator
+def _bucket_edges() -> np.ndarray:
+    # bucket edges: ±1e-12 · 1.1^k, like tensorboard's default generator —
+    # input-independent, built once (histograms log every parameter at
+    # every checkpoint cadence)
     limits = [1e-12]
     while limits[-1] < 1e20:
         limits.append(limits[-1] * 1.1)
     limits = np.asarray(limits)
-    edges = np.concatenate([-limits[::-1], [0.0], limits])
-    counts, _ = np.histogram(values, bins=np.concatenate([[-np.inf], edges]))
+    return np.concatenate([-limits[::-1], [0.0], limits])
+
+
+_EDGES = _bucket_edges()
+_BINS = np.concatenate([[-np.inf], _EDGES, [np.inf]])
+
+
+def _histogram_proto(values: np.ndarray) -> bytes:
+    """HistogramProto with tensorboard's standard exponential buckets."""
+    values = np.asarray(values, dtype=np.float64).ravel()
+    # a diverging run (±inf/NaN params — exactly when histograms matter)
+    # must stay renderable: drop NaNs, clip ±inf into the end buckets
+    values = values[~np.isnan(values)]
+    if values.size == 0:
+        values = np.zeros(1)
+    values = np.clip(values, -1e300, 1e300)
+    edges = _EDGES
+    counts, _ = np.histogram(values, bins=_BINS)
+    # fold the +inf overflow bin into the last real bucket so
+    # sum(bucket) == num
+    counts = counts.copy()
+    counts[-2] += counts[-1]
+    counts = counts[:-1]
     nz = np.nonzero(counts)[0]
     if len(nz):
         lo, hi = nz[0], nz[-1] + 1

@@ -32,8 +32,13 @@ class StepTimer:
 
     @property
     def steady(self) -> List[float]:
-        return self.durations[self.warmup:] \
-            if len(self.durations) > self.warmup else self.durations
+        """Post-warmup durations.  A run too short to pass warmup falls
+        back to the LAST duration only — never the full list, which would
+        average the first step's multi-second compile into the reported
+        throughput."""
+        if len(self.durations) > self.warmup:
+            return self.durations[self.warmup:]
+        return self.durations[-1:]
 
     def mean_step_s(self) -> float:
         s = self.steady

@@ -15,14 +15,24 @@ import numpy as np
 
 
 def stft_mag(audio: np.ndarray, n_fft: int = 2048,
-             hop: int = 512) -> np.ndarray:
-    """Magnitude STFT, hann-windowed, shape (n_fft//2+1, frames)."""
+             hop: int = 512, center: bool = True) -> np.ndarray:
+    """Magnitude STFT, shape (n_fft//2+1, frames) — librosa.stft defaults:
+    centered frames (n_fft//2 reflect padding) and a PERIODIC hann window,
+    so visual comparisons line up with the reference notebook's specshow
+    (a symmetric window + no centering would shift everything by half a
+    frame)."""
     audio = np.asarray(audio, np.float32)
+    if center:
+        pad = n_fft // 2
+        mode = "reflect" if len(audio) > 1 else "constant"
+        audio = np.pad(audio, (pad, pad), mode=mode)
     if len(audio) < n_fft:
         audio = np.pad(audio, (0, n_fft - len(audio)))
     n_frames = 1 + (len(audio) - n_fft) // hop
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = audio[idx] * np.hanning(n_fft)[None, :]
+    k = np.arange(n_fft)
+    win = (0.5 - 0.5 * np.cos(2 * np.pi * k / n_fft)).astype(np.float32)
+    frames = audio[idx] * win[None, :]
     return np.abs(np.fft.rfft(frames, axis=1)).T
 
 
@@ -64,20 +74,26 @@ def specshow(audio: np.ndarray, sampling_rate: int, n_fft: int = 2048,
                    cmap="magma")
     ax.set_xlabel("time (s)")
     ax.set_ylabel("freq (kHz)")
-    plt.colorbar(im, ax=ax, format="%+2.0f dB")
+    # figure-scoped colorbar: plt.colorbar would touch pyplot global state
+    # even when the caller provided its own (non-pyplot) axes
+    ax.figure.colorbar(im, ax=ax, format="%+2.0f dB")
     return ax
 
 
 def save_comparison(original: np.ndarray, reconstructed: np.ndarray,
                     sampling_rate: int, path: Path) -> Path:
     """Waveform + spectrogram side-by-side of original vs reconstruction —
-    the visual QA the reference did by hand in the notebook."""
-    import matplotlib
+    the visual QA the reference did by hand in the notebook.
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    Renders to an explicit Agg-canvas Figure: ``matplotlib.use("Agg")``
+    would hijack the caller's backend process-wide and close their open
+    interactive figures."""
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
-    fig, axes = plt.subplots(2, 2, figsize=(14, 6))
+    fig = Figure(figsize=(14, 6))
+    FigureCanvasAgg(fig)
+    axes = fig.subplots(2, 2)
     waveshow(original, sampling_rate, ax=axes[0][0])
     axes[0][0].set_title("original")
     waveshow(reconstructed, sampling_rate, ax=axes[0][1])
@@ -88,5 +104,4 @@ def save_comparison(original: np.ndarray, reconstructed: np.ndarray,
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(path, dpi=100)
-    plt.close(fig)
     return path

@@ -300,10 +300,9 @@ def log_param_histograms(ctx: TrainContext, step: int) -> None:
         for name, arr in params_to_state_dict(params).items():
             ctx.writer.add_histogram(name, arr, step)
         return
-    flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    for path, leaf in flat:
-        name = ".".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path)
+    from rawaudiovae_kelsey_tpu.models.registry import tree_dotted_names
+
+    for name, leaf in tree_dotted_names(params):
         ctx.writer.add_histogram(name, np.asarray(leaf), step)
 
 

@@ -103,3 +103,49 @@ def test_step_timer():
     assert 0.008 < t.mean_step_s() < 0.03  # warmup step excluded
     fps = t.frames_per_sec(batch_size=1000)
     assert fps > 1000 / 0.03
+
+
+def test_histogram_of_diverged_params_stays_consistent(tmp_path):
+    """Review regression: ±inf/NaN values (a diverging run — exactly when
+    histograms matter) must produce a proto the official reader accepts,
+    with sum(bucket) == num and finite stats."""
+    tb = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_file_loader"
+    )
+    from rawaudiovae_kelsey_tpu.observe import EventWriter
+
+    w = EventWriter(tmp_path)
+    vals = np.asarray([1.0, -2.0, np.inf, -np.inf, np.nan, 1e25], np.float64)
+    w.add_histogram("diverged", vals, 1)
+    w.close()
+    import glob
+
+    (f,) = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    histos = []
+    for e in tb.LegacyEventFileLoader(f).Load():
+        for v in e.summary.value:
+            if v.tag == "diverged":
+                histos.append(v.histo)
+    (h,) = histos
+    assert sum(h.bucket) == h.num == 5  # NaN dropped
+    assert np.isfinite(h.min) and np.isfinite(h.max) and np.isfinite(h.sum)
+
+
+def test_tee_delegates_stream_attrs(tmp_path):
+    """Review regression: code probing sys.stdout (isatty/fileno/encoding)
+    while the Tee is installed must not crash."""
+    import io
+
+    from rawaudiovae_kelsey_tpu.observe import tee_stdout
+
+    base = io.StringIO()
+    from rawaudiovae_kelsey_tpu.observe.logging import Tee
+
+    t = Tee(tmp_path / "log", stream=base)
+    assert t.isatty() is False  # delegated to StringIO
+    t.write("x")
+    t.close()
+    with tee_stdout(tmp_path / "log2"):
+        import sys
+
+        sys.stdout.isatty()  # must not raise
