@@ -151,7 +151,7 @@ def _histogram_proto(values: np.ndarray) -> bytes:
     values = values[~np.isnan(values)]
     if values.size == 0:
         values = np.zeros(1)
-    values = np.clip(values, -1e300, 1e300)
+    values = np.clip(values, -1e150, 1e150)  # keeps sum of squares finite
     edges = _EDGES
     counts, _ = np.histogram(values, bins=_BINS)
     # fold the +inf overflow bin into the last real bucket so
