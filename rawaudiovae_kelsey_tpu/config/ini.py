@@ -95,12 +95,27 @@ def load_config(path: Union[str, Path]) -> Config:
     if not path.exists():
         raise FileNotFoundError(f"Config File Not Found at {path}")
     cp = _parser()
-    cp.read(path)
+    # read_file, not read(): configparser.read() swallows OSError (a
+    # permission-denied file or a directory) and would hand back an
+    # all-defaults Config that trains the wrong thing without a word
+    with open(path) as fh:
+        cp.read_file(fh)
 
     cfg = Config()
+    known_lower = {s.lower(): s for s in _SECTIONS}
     for section in cp.sections():
         mapped = _SECTIONS.get(section)
         if mapped is None:
+            # a case-variant of a known section ([vae], [Training]) would
+            # silently train with defaults — that's a typo, not an
+            # extension section
+            want = known_lower.get(section.lower())
+            if want is not None and want != section:
+                raise ValueError(
+                    f"{path}: section [{section}] looks like a case "
+                    f"variant of [{want}] — section names are "
+                    "case-sensitive"
+                )
             for key, raw in cp.items(section):
                 cfg.unknown[(section, key)] = raw if raw is not None else ""
             continue

@@ -52,5 +52,7 @@ def build_corpus(
         parts.append(wave)
     if not parts:
         return np.zeros((0,), dtype=np.float32), 0
-    corpus = np.concatenate(parts, axis=0).astype(np.float32)
+    # parts are already float32 — copy=False avoids a second full-corpus
+    # allocation while `parts` still holds every per-file array
+    corpus = np.concatenate(parts, axis=0).astype(np.float32, copy=False)
     return corpus, len(corpus)

@@ -78,11 +78,11 @@ def main(argv=None) -> None:
     if orig_path.exists():
         original, sr = load(orig_path, sr=None)
     else:
+        from rawaudiovae_kelsey_tpu.eval.fixtures import concat_test_audio
+
         test_dir = cfg.dataset.datapath_path / cfg.dataset.test_dataset
-        parts = [load(f, sr=cfg.audio.sampling_rate,
-                      mono=cfg.dataset.mono)[0]
-                 for f in sorted(test_dir.glob("*.wav"))]
-        original = np.concatenate(parts)
+        original = concat_test_audio(test_dir, cfg.audio.sampling_rate,
+                                     mono=cfg.dataset.mono)
         sr = cfg.audio.sampling_rate
 
     ds = TestFrameDataset(original, cfg.audio.segment_length, sr)

@@ -18,6 +18,18 @@ from rawaudiovae_kelsey_tpu.data.datasets import TestFrameDataset
 from rawaudiovae_kelsey_tpu.io import load, write_wav
 
 
+def concat_test_audio(folder: Path, sampling_rate: int,
+                      mono: str = "mean") -> np.ndarray:
+    """Sorted-glob + load + concatenate of a test-audio folder — the ONE
+    ingest both the training fixture and the eval CLI's ground-truth
+    fallback share (raises clearly on an empty folder)."""
+    files = sorted(Path(folder).glob("*.wav"))
+    parts = [load(f, sr=sampling_rate, mono=mono)[0] for f in files]
+    if not parts:
+        raise FileNotFoundError(f"no wav files in {folder}")
+    return np.concatenate(parts, axis=0)
+
+
 def init_test_audio(
     workdir: Path,
     test_audio: str,
@@ -33,10 +45,8 @@ def init_test_audio(
     with open(audio_log_dir / f"{test_audio}.txt", "w") as fh:
         fh.writelines(f"{f}\n" for f in test_files)
 
-    parts = [load(f, sr=sampling_rate, mono=mono)[0] for f in test_files]
-    if not parts:
-        raise FileNotFoundError(f"no wav files in {my_test_audio}")
-    test_dataset_audio = np.concatenate(parts, axis=0)
+    test_dataset_audio = concat_test_audio(my_test_audio, sampling_rate,
+                                           mono=mono)
 
     test_dataset = TestFrameDataset(
         test_dataset_audio, segment_length=segment_length,

@@ -9,6 +9,7 @@ they finish the in-flight step, write a checkpoint, and exit cleanly —
 
 from __future__ import annotations
 
+import os
 import signal
 from types import FrameType
 from typing import Optional
@@ -26,8 +27,16 @@ class GracefulInterrupt:
     def _handler(self, signum: int, frame: Optional[FrameType]) -> None:
         self.requested = True
         self.signum = signum
-        print(f"\nReceived signal {signum}: finishing step, then "
-              "checkpointing and exiting...")
+        # async-signal-safe notice: print() re-enters the buffered stdout
+        # writer and raises RuntimeError if the signal lands mid-write
+        # (both drivers print constantly), killing the run WITHOUT the
+        # checkpoint this class exists to guarantee — os.write is safe
+        msg = (f"\nReceived signal {signum}: finishing step, then "
+               "checkpointing and exiting...\n").encode()
+        try:
+            os.write(2, msg)
+        except OSError:
+            pass
 
     def __enter__(self) -> "GracefulInterrupt":
         for sig in self._signals:
@@ -41,7 +50,10 @@ class GracefulInterrupt:
 
     def __exit__(self, *exc) -> bool:
         for sig, prev in self._previous.items():
-            signal.signal(sig, prev)
+            # prev is None when the old handler was installed outside
+            # Python (embedded interpreter) — signal.signal(sig, None)
+            # would raise; default-restore instead
+            signal.signal(sig, prev if prev is not None else signal.SIG_DFL)
         return False
 
     def __bool__(self) -> bool:

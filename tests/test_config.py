@@ -214,3 +214,20 @@ def test_shipped_configs_parse_and_validate(ini, tmp_path):
     cfg.validate()
     assert cfg.training.batch_size > 0
     assert _resolve_backend(cfg, cfg.vae.arch) in ("xla", "pallas")
+
+
+def test_case_variant_section_rejected(tmp_path):
+    """Review regression: [vae] (case variant of [VAE]) must fail loudly —
+    silently routing it to cfg.unknown trains default hyperparameters."""
+    p = tmp_path / "typo.ini"
+    p.write_text("[vae]\nlatent_dim = 64\n")
+    with pytest.raises(ValueError, match="case variant"):
+        load_config(p)
+
+
+def test_unreadable_config_raises(tmp_path):
+    """Review regression: configparser.read() swallows OSError (e.g. a
+    directory passed as --config) and returns all defaults; read_file must
+    surface it."""
+    with pytest.raises((OSError, IsADirectoryError)):
+        load_config(tmp_path)  # a directory
