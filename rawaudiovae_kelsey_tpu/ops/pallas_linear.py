@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
+    _act,
     _interpret,
     _pad_batch,
     mosaic_precision_scope,
@@ -33,16 +34,6 @@ from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
 
 BLOCK_B = 128
 BLOCK_N = 256
-
-
-def _act(name: str, x):
-    if name == "relu":
-        return jnp.maximum(x, 0.0)
-    if name == "tanh":
-        return jnp.tanh(x)
-    if name == "none":
-        return x
-    raise ValueError(f"unknown activation {name!r}")
 
 
 def _linear_kernel(x_ref, w_ref, b_ref, out_ref, *, act):

@@ -83,6 +83,19 @@ def _default_block(dtype) -> int:
     return 512 if jnp.dtype(dtype).itemsize <= 2 else DEFAULT_BLOCK_B
 
 
+def _act(name: str, x):
+    """Activation dispatch shared by the standalone kernels (toeplitz,
+    linear) — ONE copy so a new activation can't be added to one and not
+    the other."""
+    if name == "relu":
+        return jnp.maximum(x, 0.0)
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "none":
+        return x
+    raise ValueError(f"unknown activation {name!r}")
+
+
 def _interpret() -> bool:
     platform = jax.devices()[0].platform.lower()
     return not ("tpu" in platform or "axon" in platform)
@@ -445,7 +458,15 @@ def _pick_block(row_bytes: int, resident_bytes: int, passes: int = 1,
     for b in candidates:
         if resident_bytes + b * row_bytes <= budget:
             return b
-    return candidates[-1]
+    # even the smallest tile exceeds VMEM: fail with an actionable message
+    # rather than launching a kernel that dies in an opaque Mosaic
+    # RESOURCE_EXHAUSTED at compile time
+    raise ValueError(
+        f"pallas kernel VMEM-infeasible: resident {resident_bytes} B + "
+        f"{candidates[-1]} rows x {row_bytes} B/row exceeds the "
+        f"{budget} B budget — this architecture is too wide for the fused "
+        "kernels; use [tpu] backend = xla"
+    )
 
 
 def _cols(n: int) -> int:

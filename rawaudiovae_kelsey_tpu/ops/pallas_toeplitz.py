@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
+    _act,
     _interpret,
     _split_hi_lo,
     ambient_precision_tier,
@@ -62,16 +63,6 @@ from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (
 # stack must hold the double-buffered in/out blocks, the f32 accumulator
 # scratch, and a slice+dot temporary pair — see pick_batch_tile.
 _VMEM_BUDGET = 10 * 1024 * 1024
-
-
-def _act(name: str, x):
-    if name == "relu":
-        return jnp.maximum(x, 0.0)
-    if name == "tanh":
-        return jnp.tanh(x)
-    if name == "none":
-        return x
-    raise ValueError(f"unknown activation {name!r}")
 
 
 def _pad_tile(sub: int, lane: int, itemsize: int) -> tuple[int, int]:
@@ -239,9 +230,24 @@ def _tm_bwd(act, t_out, shift, passes, res, dy):
     # dx[u] = Σ_j da[u - (j - shift)] @ w[j]ᵀ.  With taps reversed
     # (j' = kb-1-j) this is a shifted Toeplitz matmul over the raw da:
     # offset j' - (kb-1-shift) = -(j - shift).
-    wrev = jnp.flip(w, axis=0).transpose(0, 2, 1)     # (KB, N, G)
-    dx = toeplitz_fwd(da, wrev, jnp.zeros((w.shape[1],), da.dtype),
-                      "none", nb, kb - 1 - shift, passes).astype(x.dtype)
+    # The dx pass swaps panel widths (G↔N), so its VMEM footprint differs
+    # from the forward's — when IT doesn't fit, take per-tap XLA einsums
+    # instead of raising mid-differentiation of an op documented as
+    # closed under autodiff.
+    G = w.shape[1]
+    if pick_batch_tile(da.shape[0], t, da.shape[2], nb, G,
+                       da.dtype.itemsize, kb) > 0:
+        wrev = jnp.flip(w, axis=0).transpose(0, 2, 1)     # (KB, N, G)
+        dx = toeplitz_fwd(da, wrev, jnp.zeros((w.shape[1],), da.dtype),
+                          "none", nb, kb - 1 - shift, passes).astype(x.dtype)
+    else:
+        dxf = jnp.zeros((x.shape[0], nb, G), jnp.float32)
+        for j, o, a, e in _tap_ranges(kb, shift, t, nb):
+            contrib = jnp.einsum(
+                "btn,gn->btg", jax.lax.slice_in_dim(da, a, e, axis=1), w[j],
+                preferred_element_type=jnp.float32)
+            dxf = dxf.at[:, a + o:e + o, :].add(contrib)
+        dx = dxf.astype(x.dtype)
     # dW[j] = Σ_t x[t + j - shift]ᵀ da[t] over the valid rows — one GEMM
     # per tap on a shifted view (XLA fuses the slice into the GEMM).
     dws = {}

@@ -44,8 +44,12 @@ def _bits_to_unit_open(bits: jax.Array) -> jax.Array:
 def _reparam_kernel(seed_ref, mu_ref, logvar_ref, z_ref):
     # distinct stream per batch tile; BOTH key words feed the seed (a
     # single 32-bit word would birthday-collide over long runs, replaying
-    # bit-identical noise tensors)
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0), seed_ref[1])
+    # bit-identical noise tensors).  The tile index is spread by a golden-
+    # ratio odd constant in the SECOND word: naive seed+program_id would
+    # make sequential scalar seeds replay each other's tiles shifted by
+    # one block (seed s, tile i+1 == seed s+1, tile i).
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] ^ (pl.program_id(0) * 0x9E3779B9))
     shape = mu_ref.shape
     u1 = _bits_to_unit_open(
         pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)

@@ -221,7 +221,14 @@ def test_pallas_linear_ksplit_parity_and_grads():
         KSPLIT_BLOCK, KSPLIT_BLOCK_K, linear_ksplit_fwd)
 
     rng = np.random.default_rng(1)
-    B, k, n = 2 * KSPLIT_BLOCK, KSPLIT_BLOCK_K + 64, KSPLIT_BLOCK + 32
+    # k must clear the 2*KSPLIT_BLOCK_K dispatch gate (pallas_linear.py
+    # _dispatch_fwd) or the "public op dispatches to k-split" check below
+    # is vacuous — a review found the old k = KSPLIT_BLOCK_K + 64 routed
+    # to the plain kernel and passed by bitwise coincidence
+    from rawaudiovae_kelsey_tpu.ops.pallas_linear import KSPLIT_BLOCK_B
+
+    B, k, n = max(2 * KSPLIT_BLOCK, KSPLIT_BLOCK_B), \
+        2 * KSPLIT_BLOCK_K + 64, KSPLIT_BLOCK + 32
     x = jnp.asarray(rng.standard_normal((B, k)).astype(np.float32) * 0.1)
     w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
@@ -229,7 +236,10 @@ def test_pallas_linear_ksplit_parity_and_grads():
     ref = jax.nn.relu(x @ w + b)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
-    # the public op must dispatch to k-split at this shape and agree
+    # the public op must dispatch to k-split at this shape and agree —
+    # pin the gate condition so a future gate change re-vacuates loudly
+    assert (B >= KSPLIT_BLOCK_B and k >= 2 * KSPLIT_BLOCK_K
+            and n >= KSPLIT_BLOCK)
     y2 = pallas_linear(x, w, b, "relu")
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
     gp = jax.grad(lambda *a: jnp.mean(jnp.square(pallas_linear(*a, "relu"))),
@@ -616,3 +626,68 @@ def test_pallas_backend_under_mesh():
         losses[mp] = float(jax.device_get(m["loss"]))
         assert np.isfinite(losses[mp])
     assert abs(losses[1] - losses[2]) < 1e-5
+
+
+def test_high_tier_full_fusion_parity(params, x):
+    """The fp32 'high' tier (bf16 3-pass hi/lo inside the kernels, the
+    production precision=high recipe) previously had zero CI coverage —
+    pin fwd + grads against the XLA high tier."""
+    from rawaudiovae_kelsey_tpu.ops.pallas_mlp import pallas_decode
+
+    z = jnp.asarray(
+        np.random.default_rng(5).standard_normal((B, LATENT)).astype(
+            np.float32))
+
+    def loss_p(p):
+        mu, logvar = pallas_encode(p, x)
+        return (jnp.sum(mu * 1.3) + jnp.sum(jnp.square(logvar))
+                + jnp.sum(jnp.square(pallas_decode(p, z))))
+
+    def loss_r(p):
+        mu, logvar = vae.encode(p, x)
+        return (jnp.sum(mu * 1.3) + jnp.sum(jnp.square(logvar))
+                + jnp.sum(jnp.square(vae.decode(p, z))))
+
+    with jax.default_matmul_precision("high"):
+        lp = float(loss_p(params))
+        gp = jax.grad(loss_p)(params)
+    with jax.default_matmul_precision("highest"):
+        lr = float(loss_r(params))
+        gr = jax.grad(loss_r)(params)
+    assert lp == pytest.approx(lr, rel=1e-4)
+    for name in ("fc1", "fc21", "fc22", "fc3", "fc4"):
+        np.testing.assert_allclose(
+            np.asarray(gp[name]["w"]), np.asarray(gr[name]["w"]),
+            atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_toeplitz_grad_falls_back_when_dx_pass_does_not_fit(monkeypatch):
+    """Review regression: the backward's dx pass swaps panel widths, so it
+    can be VMEM-infeasible when the forward fit — grad must fall back to
+    the per-tap XLA path, not raise mid-differentiation."""
+    from rawaudiovae_kelsey_tpu.ops import pallas_toeplitz as T
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 6, 8)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.standard_normal((3, 8, 16)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(16).astype(np.float32) * 0.1)
+
+    def loss(x_, w_, b_):
+        return jnp.sum(jnp.square(T.toeplitz_matmul(x_, w_, b_, "relu")))
+
+    ref = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+
+    # force the dx direction infeasible (da has 16-wide rows -> G=8 panel;
+    # stub the tile picker to claim it doesn't fit)
+    real = T.pick_batch_tile
+
+    def fake(Bv, nb, G, t, n, itemsize, kb=3):
+        if G == 16:  # the swapped (dx) direction
+            return 0
+        return real(Bv, nb, G, t, n, itemsize, kb)
+
+    monkeypatch.setattr(T, "pick_batch_tile", fake)
+    got = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-5)
