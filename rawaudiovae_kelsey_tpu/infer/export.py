@@ -28,19 +28,22 @@ from rawaudiovae_kelsey_tpu.models.vae import reparameterize
 
 def make_forward_fn(model: ModelDef, deterministic: bool = False):
     """The exported computation: flat (segment,) or (B, segment) audio in →
-    reconstruction out (the export-onnx forward contract)."""
+    ``(recon, mu, logvar)`` out — the reference VAE.forward contract
+    (model.py:32-35) that torch.onnx.export serialized, so latent
+    consumers of the reference artifact find the same output surface
+    here."""
     if deterministic:
         def fwd(params, x):
             x = x.reshape(-1, model.segment_length)
-            mu, _ = model.encode(params, x)
-            return model.decode(params, mu)
+            mu, logvar = model.encode(params, x)
+            return model.decode(params, mu), mu, logvar
         return fwd
 
     def fwd(params, key, x):
         x = x.reshape(-1, model.segment_length)
         mu, logvar = model.encode(params, x)
         z = reparameterize(key, mu, logvar)
-        return model.decode(params, z)
+        return model.decode(params, z), mu, logvar
     return fwd
 
 

@@ -414,6 +414,7 @@ class OnnxModel:
         env: Dict[str, np.ndarray] = dict(self.initializers)
         for k, v in feeds.items():
             env[k] = np.asarray(v, np.float32)
+        caller_rng = rng is not None
         rng = rng or np.random.default_rng(0)
         for node in self.nodes:
             ins = [env[i] for i in node.inputs]
@@ -433,7 +434,14 @@ class OnnxModel:
             elif op == "Exp":
                 out = np.exp(ins[0])
             elif op == "RandomNormalLike":
-                out = rng.standard_normal(ins[0].shape).astype(np.float32)
+                # honor the artifact's seed attribute (export_onnx(seed=…))
+                # when the caller didn't inject an rng — otherwise two
+                # differently-seeded artifacts would evaluate identically
+                # here while diverging in a seed-honoring external runtime
+                node_seed = node.attrs.get("seed")
+                use = (np.random.default_rng(int(node_seed))
+                       if not caller_rng and node_seed is not None else rng)
+                out = use.standard_normal(ins[0].shape).astype(np.float32)
             else:
                 raise NotImplementedError(f"op {op}")
             env[node.outputs[0]] = np.asarray(out, np.float32)

@@ -24,15 +24,19 @@ def bench():
 
 def test_resolve_best_matches_measured_winners(bench):
     # synth exists only in Pallas
-    assert bench.resolve_best("synth", "bfloat16") == "pallas"
+    assert bench.winner_table("synth", "bfloat16") == "pallas"
     # dense: Pallas leads bfloat16/high/highest; plain fp32 keeps XLA
     for prec in ("bfloat16", "high", "highest"):
-        assert bench.resolve_best("train", prec, "dense") == "pallas"
-    assert bench.resolve_best("train", "float32", "dense") == "xla"
+        assert bench.winner_table("train", prec, "dense") == "pallas"
+    assert bench.winner_table("train", "float32", "dense") == "xla"
     # deep/conv1d keep XLA at every tier (whole-graph scheduling wins)
     for arch in ("deep", "conv1d"):
         for prec in ("bfloat16", "high", "highest", "float32"):
-            assert bench.resolve_best("train", prec, arch) == "xla"
+            assert bench.winner_table("train", prec, arch) == "xla"
+    # off-TPU (this suite), resolve_best applies the same platform guard
+    # as the registry: interpret-mode pallas must never be 'best'
+    assert bench.resolve_best("train", "bfloat16", "dense") == "xla"
+    assert bench.resolve_best("synth", "bfloat16") == "xla"
 
 
 def test_resolve_best_agrees_with_registry(bench):

@@ -211,11 +211,14 @@ def test_export_stablehlo_roundtrip(model_and_params, tmp_path):
                          batch=2, deterministic=True)
     fn = load_stablehlo(p)
     x = np.random.default_rng(0).uniform(-1, 1, (2, SEG)).astype(np.float32)
-    out = np.asarray(fn(x))
-    # equals in-process deterministic forward
-    mu, _ = encode_trajectory(model, params, frame_audio(x.reshape(-1), SEG))
+    # full reference VAE.forward contract: (recon, mu, logvar)
+    recon, mu_out, logvar_out = fn(x)
+    mu, logvar = encode_trajectory(model, params,
+                                   frame_audio(x.reshape(-1), SEG))
     expect = decode_trajectory(model, params, mu)
-    np.testing.assert_allclose(out, expect, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(recon), expect, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mu_out), mu, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logvar_out), logvar, atol=1e-5)
 
 
 def test_server_batched_requests(model_and_params):

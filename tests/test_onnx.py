@@ -285,3 +285,25 @@ class TestDecoderFuzz:
         assert issubclass(E, ValueError)
         with pytest.raises(E):
             OnnxModel(b"\x80" * 8)
+
+
+def test_onnx_seed_attr_honored(model_and_params, tmp_path):
+    """Review regression: the numpy evaluator must honor the artifact's
+    RandomNormalLike seed attribute when the caller injects no rng —
+    differently-seeded artifacts previously evaluated identically here
+    while diverging in a seed-honoring external runtime."""
+    model, params = model_and_params
+    x = np.random.default_rng(0).uniform(-1, 1, SEG).astype(np.float32)
+    m7 = OnnxModel.load(export_onnx(model, params, tmp_path / "s7.onnx",
+                                    seed=7))
+    m8 = OnnxModel.load(export_onnx(model, params, tmp_path / "s8.onnx",
+                                    seed=8))
+    feeds = {"input": x}
+    k = "recon" if "recon" in m7.outputs else m7.outputs[0]
+    o7 = m7.run(feeds)[k]
+    o8 = m8.run(feeds)[k]
+    assert not np.array_equal(o7, o8)  # seeds differ -> eps differs
+    np.testing.assert_array_equal(o7, m7.run(feeds)[k])  # reproducible
+    # caller-injected rng still wins over the embedded seed
+    oc = m7.run(feeds, rng=np.random.default_rng(8))[k]
+    assert not np.array_equal(o7, oc)
