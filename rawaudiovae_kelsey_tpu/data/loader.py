@@ -112,6 +112,16 @@ def prefetch_to_device(host_iter: Iterator, depth: int = 2, sharding=None,
                             cast_dtype=cast_dtype, put_fn=put_fn)
 
 
+def feed_dtype(cfg):
+    """Host-side cast dtype for prefetch_to_device per [tpu] feed_dtype —
+    lives next to its only consumer (both drivers import it)."""
+    if cfg.tpu.feed_dtype == "bfloat16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return None
+
+
 def pad_batches_for_mesh(host_iter: Iterator, n_devices: int) -> Iterator:
     """Make every batch's leading dim divisible by ``n_devices`` by wrapping
     (repeating rows from the batch start).

@@ -25,7 +25,10 @@ import numpy as np
 from rawaudiovae_kelsey_tpu.config import Config
 from rawaudiovae_kelsey_tpu.data.corpus import build_corpus
 from rawaudiovae_kelsey_tpu.data.datasets import AudioFrameDataset
-from rawaudiovae_kelsey_tpu.data.loader import prefetch_to_device
+from rawaudiovae_kelsey_tpu.data.loader import (
+    feed_dtype as _feed_dtype,
+    prefetch_to_device,
+)
 from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
 from rawaudiovae_kelsey_tpu.train import loop as L
 from rawaudiovae_kelsey_tpu.train.interrupt import GracefulInterrupt
@@ -150,10 +153,16 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     mesh_ok = (ctx.mesh is None
                or (cfg.tpu.model_parallel <= 1 and layout == "frames"
                    and batch_size % n_shards == 0))
+    # the resident body takes one full-batch value_and_grad: it cannot
+    # honor microbatch accumulation, so configs that asked for it (giant
+    # batches) keep the host-fed step that does
+    micro = cfg.tpu.microbatch_size
+    micro_ok = not (micro and batch_size > micro)
     use_resident = (
         cfg.tpu.device_resident != "never"
         and layout is not None
         and mesh_ok
+        and micro_ok
     )
     if use_resident and min_frames >= batch_size:
         return _run_resident(ctx, cfg, verbose, stop, corpus, n_samples,
@@ -162,8 +171,9 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         raise ValueError(
             "device_resident=always but the corpus does not fit "
             f"resident_budget_gb={cfg.tpu.resident_budget_gb} (layout="
-            f"{layout!r}) or the mesh/batch layout is incompatible; raise "
-            "the budget or use device_resident=auto"
+            f"{layout!r}), the mesh/batch layout is incompatible, or "
+            "microbatch_size is set (the resident body can't accumulate "
+            "microbatches); adjust the config or use device_resident=auto"
         )
 
     multihost = jax.process_count() > 1 and ctx.mesh is not None
@@ -635,9 +645,3 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 def datapath_audio_dir(cfg: Config) -> Path:
     return cfg.dataset.datapath_path / "audio"
 
-def _feed_dtype(cfg):
-    if cfg.tpu.feed_dtype == "bfloat16":
-        import ml_dtypes
-
-        return ml_dtypes.bfloat16
-    return None

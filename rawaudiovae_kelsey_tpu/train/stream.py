@@ -33,7 +33,10 @@ import jax
 
 from rawaudiovae_kelsey_tpu.config import Config
 from rawaudiovae_kelsey_tpu.data.datasets import StreamingFrameDataset
-from rawaudiovae_kelsey_tpu.data.loader import prefetch_to_device
+from rawaudiovae_kelsey_tpu.data.loader import (
+    feed_dtype as _feed_dtype,
+    prefetch_to_device,
+)
 from rawaudiovae_kelsey_tpu.observe.logging import tee_stdout
 from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
 from rawaudiovae_kelsey_tpu.train import loop as L
@@ -120,7 +123,26 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         est = _estimate_stream_frames(dataset, cfg)
         dtype_bytes = 2 if cfg.tpu.precision == "bfloat16" else 4
         budget = int(cfg.tpu.resident_budget_gb * (1 << 30))
-        fits = (est is not None
+        # the resident bodies take one full-batch value_and_grad — they
+        # cannot honor microbatch accumulation, so a config that asked for
+        # it (giant batches) must keep the host-fed step that does
+        micro = cfg.tpu.microbatch_size
+        micro_ok = not (micro and batch_size > micro)
+        if jax.process_count() > 1:
+            # the fits decision must be IDENTICAL on every process — a
+            # host entering _run_resident's collectives while a peer takes
+            # the host-fed loop deadlocks the cluster.  Allgather the
+            # host-local estimates (any-host None → None), gate on the
+            # max; the stitched matrix shards over the data axis, so each
+            # device holds ~est/dph rows — budget × devices-per-host
+            from jax.experimental import multihost_utils
+
+            ests = multihost_utils.process_allgather(
+                np.asarray(-1 if est is None else est, np.int64))
+            est = None if int(ests.min()) < 0 else int(ests.max())
+            budget *= max(
+                ctx.mesh.shape["data"] // jax.process_count(), 1)
+        fits = (micro_ok and est is not None
                 and est * cfg.audio.segment_length * dtype_bytes <= budget)
         if fits:
             return _run_resident(ctx, cfg, verbose, stop, dataset,
@@ -130,8 +152,10 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             raise ValueError(
                 "device_resident=always but the stream's frame matrix "
                 f"(est {est} frames) exceeds resident_budget_gb="
-                f"{cfg.tpu.resident_budget_gb} (or headers were unreadable);"
-                " raise the budget or use device_resident=auto"
+                f"{cfg.tpu.resident_budget_gb}, headers were unreadable, "
+                "or microbatch_size is set (the resident body can't "
+                "accumulate microbatches); adjust the budget/microbatch "
+                "or use device_resident=auto"
             )
 
     sharding = batch_sharding(ctx.mesh) if ctx.mesh is not None else None
@@ -150,6 +174,19 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     # batches keeps the stream order aligned on resume (taking the first
     # `remaining` would retrain already-seen data and drop the tail)
     put_fn = None
+    if ctx.mesh is not None:
+        # validate divisibility UP FRONT: an indivisible batch would
+        # otherwise surface as an opaque uneven-shard error from inside
+        # the prefetcher thread at the first next()
+        n_dev = ctx.mesh.devices.size
+        need = (n_dev // jax.process_count()
+                if jax.process_count() > 1 else n_dev)
+        if batch_size % max(need, 1):
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by "
+                f"{'the per-host device count' if need != n_dev else 'the mesh device count'} "
+                f"({need}) for host-fed mesh streaming"
+            )
     if jax.process_count() > 1 and ctx.mesh is not None:
         from rawaudiovae_kelsey_tpu.parallel.mesh import (
             global_batch_from_local,
@@ -167,6 +204,7 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     train_loss_accum = 0.0
     window_loss = 0.0       # since the last checkpoint — drives the best gate
     window_count = 0
+    window_mark = start_batch  # first batch of the current rate window
     ctx.timer.start()
 
     def drain():
@@ -211,7 +249,12 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
                                        label=batch_id)
             return ctx
 
-        if verbose and batch_id % max(1, interval // 10 or 1) == 0:
+        # interval=0 must NOT collapse the cadence to every batch: the
+        # drain's device_get would block on the step dispatched one line
+        # up, a ~28-130 ms round trip per ~1 ms step (silent 30x+
+        # slowdown) — same fallback cadence as the multihost stop sync
+        if verbose and batch_id % (max(1, interval // 10)
+                                   if interval else 100) == 0:
             drain()
             print(f"Batch {batch_id}/{total_num_batches} - "
                   f"Cumulative loss: {train_loss_accum:.6f}")
@@ -222,8 +265,12 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
         if interval and batch_id % interval == 0 and batch_id != 0:
             drain()
             step_time = ctx.timer.stop()
+            # batches actually trained this window (the first window after
+            # a resume is shorter than a full interval)
+            n_window = batch_id - window_mark
+            window_mark = batch_id
             print(f"Checkpoint - Batch {batch_id} "
-                  f"({interval * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
+                  f"({n_window * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
             # best gate FIRST — on the mean loss of this checkpoint interval
@@ -252,14 +299,6 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
                                label=total_num_batches)
     L.save_last(ctx)
     return ctx
-
-
-def _feed_dtype(cfg):
-    if cfg.tpu.feed_dtype == "bfloat16":
-        import ml_dtypes
-
-        return ml_dtypes.bfloat16
-    return None
 
 
 def _estimate_stream_frames(dataset: StreamingFrameDataset, cfg) -> int | None:
@@ -426,9 +465,14 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                  <= 1 << 30)
 
     @jax.jit
-    def run_chunk(state, idx_chunk, frames):
+    def run_chunk(state, idx_chunk, nk, frames):
         # frames passed as an argument (not closed over): multi-process
-        # global arrays may not be captured as jit constants
+        # global arrays may not be captured as jit constants.
+        # idx_chunk is ALWAYS (chunk, rows) — short boundary chunks mask
+        # their tail rows as no-op steps (the dynamic ``nk`` active count)
+        # so the whole run reuses ONE compiled executable; distinct static
+        # chunk lengths each cost a full ~50 s train-step compile through
+        # the tunnel (the resident epoch trainer's fixed-group trick).
         with jax.default_matmul_precision(prec):
             if idx_sharding is not None:
                 idx_chunk = jax.lax.with_sharding_constraint(
@@ -439,7 +483,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 idx_chunk = frames[idx_chunk.reshape(-1)].reshape(
                     k, rows, seg_len)
 
-            def body(s, idx):
+            def step(s, idx):
                 # `idx` is a row of prefetched frames when pregathered,
                 # else an int32 index row to gather here
                 xb = idx if pregather else frames[idx]
@@ -459,7 +503,14 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                     opt_state=opt_state, rng=s.rng, step=s.step + 1,
                 ), loss
 
-            return jax.lax.scan(body, state, idx_chunk)
+            def body(s, inp):
+                i, idx = inp
+                return jax.lax.cond(
+                    i < nk, lambda ss: step(ss, idx),
+                    lambda ss: (ss, jnp.float32(jnp.nan)), s)
+
+            return jax.lax.scan(
+                body, state, (jnp.arange(idx_chunk.shape[0]), idx_chunk))
 
     plan = dataset.index_batches(batch_size)
     # resume: consume the indices the finished batches already used
@@ -482,14 +533,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     train_loss_accum = 0.0
     window_loss, window_count = 0.0, 0
     batch_id = start_batch
-    pending = []  # (start_batch_id, device losses) — drained off the hot path
+    # (start_batch_id, active count, device losses) — drained off the hot
+    # path; rows past the active count are the masked tail (NaN), sliced
+    pending = []
 
     def drain():
         nonlocal train_loss_accum, window_loss, window_count
-        for bid0, dev_losses in pending:
-            for j, l in enumerate(
-                np.asarray(jax.device_get(dev_losses), np.float64)
-            ):
+        for bid0, nk, dev_losses in pending:
+            arr = np.asarray(jax.device_get(dev_losses), np.float64)[:nk]
+            for j, l in enumerate(arr):
                 train_loss_accum += float(l)
                 window_loss += float(l)
                 window_count += 1
@@ -497,10 +549,12 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 ctx.writer.add_scalar("Learning Rate", lr, bid0 + j)
         pending.clear()
 
-    # stage index chunks onto the device ahead of consumption (the idx
-    # upload is the only remaining per-chunk host-link dependency)
-    def chunk_plan():
+    # the active-count schedule is a pure function of the boundaries —
+    # precomputed so the (host-side) consumer and the prefetching producer
+    # agree without sharing mutable state
+    def k_schedule():
         bid = start_batch
+        out = []
         while bid < total_num_batches:
             k = min(chunk, total_num_batches - bid)
             if interval:
@@ -509,6 +563,17 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 # land on histogram boundaries too, else a 64-step chunk
                 # coarsens the configured cadence to chunk granularity
                 k = min(k, hist_every - (bid % hist_every))
+            out.append(k)
+            bid += k
+        return out
+
+    ks = k_schedule()
+
+    # stage index chunks onto the device ahead of consumption (the idx
+    # upload is the only remaining per-chunk host-link dependency); every
+    # chunk is padded to the FIXED (chunk, rows) shape — see run_chunk
+    def chunk_plan():
+        for k in ks:
             batches = list(itertools.islice(plan, k))
             if pad_rows:       # masked rows; index 0 is always in range
                 batches = [
@@ -517,13 +582,18 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 ]
             if idx_base:       # local rows → this host's global rows
                 batches = [bb + np.int32(idx_base) for bb in batches]
+            batches += [np.zeros_like(batches[0])] * (chunk - k)
             yield np.stack(batches)
-            bid += k
 
     staged = prefetch_to_device(chunk_plan(), depth=3,
                                 sharding=None if idx_put_fn else idx_sharding,
                                 put_fn=idx_put_fn)
-    hist_marker = (start_batch // hist_every) if hist_every else 0
+    # resident histograms land on chunk boundaries (params only
+    # materialize there); a fresh run's first log fires at the FIRST
+    # boundary so the series has the same sample count as the host-fed
+    # path's batch-0 log
+    hist_marker = ((start_batch // hist_every) if start_batch else -1) \
+        if hist_every else 0
 
     # Multihost interrupt sync (see epoch._sync_stop): allgather the
     # per-process flag at boundaries every host reaches identically —
@@ -533,17 +603,20 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     from rawaudiovae_kelsey_tpu.train.epoch import _sync_stop
 
     ctx.timer.start()
+    window_mark = start_batch  # first batch of the current rate window
     for ci, idx_dev in enumerate(staged):
-        k = idx_dev.shape[0]
-        ctx.state, losses = run_chunk(ctx.state, idx_dev, dev_frames)
-        pending.append((batch_id, losses))  # no sync in the hot loop
+        k = ks[ci]
+        ctx.state, losses = run_chunk(ctx.state, idx_dev,
+                                      jnp.int32(k), dev_frames)
+        pending.append((batch_id, k, losses))  # no sync in the hot loop
         L.prefetch_host(losses)  # drain finds the bytes already en route
         batch_id += k
         if len(pending) >= 8:
-            # backpressure: wait for the OLDEST chunk to finish (without
-            # draining — later chunks stay in flight) so in-flight work and
-            # interrupt latency stay bounded while the pipeline keeps full
-            jax.block_until_ready(pending[0][1])
+            # backpressure: wait for the chunk dispatched 8 ago (drains
+            # only happen at boundaries, so waiting on pending[0] would be
+            # a permanent no-op once it completed — in-flight work and
+            # interrupt latency must stay bounded with the pipeline full)
+            jax.block_until_ready(pending[-8][2])
 
         if verbose:
             print(f"Batch {batch_id}/{total_num_batches}")
@@ -568,8 +641,12 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         if at_ckpt:
             drain()
             step_time = ctx.timer.stop()
+            # count the batches actually trained in this window (the first
+            # window after a resume is shorter than a full interval)
+            n_window = batch_id - window_mark
+            window_mark = batch_id
             print(f"Checkpoint - Batch {batch_id} "
-                  f"({interval * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
+                  f"({n_window * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
             # best gate first: the meta must record this boundary's gate
