@@ -1,0 +1,177 @@
+"""End-to-end serving benchmark for the batched inference service.
+
+BASELINE.json config #5 ("inference server: batched encode/interpolate/
+decode with overlap-add streaming synthesis") gets its decode-throughput
+attestation from ``bench.py --metric synth``; this script attests the FULL
+service path instead: HTTP request -> wav decode -> framing -> batched
+encode/reparam/decode on device -> overlap-add -> wav encode -> response.
+Concurrent clients exercise the request-coalescing worker exactly the way
+production traffic would (reference analog: the notebook's one-clip-at-a-
+time loop, /root/reference/tutorial.ipynb cells 14-22, which had no
+serving story at all).
+
+Run from the repo root on TPU (or CPU -- it auto-reports the platform):
+
+    python benchmarks/serve_bench.py [--clients 16] [--requests 8]
+        [--seconds 2.0] [--batch-size 256] [--quantize] [--ola]
+
+Prints one JSON line: unloaded p50 latency, loaded p50/p90/p99, requests/s,
+and the aggregate realtime factor (seconds of audio served per wall
+second).  Methodology matches docs/PERF.md: a warmup request per kind
+fetches a real value before any timing (async-compile tunnel rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import io
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SR = 44100
+
+
+def _percentile(xs, q):
+    return float(np.percentile(np.asarray(xs, dtype=np.float64), q))
+
+
+def _post(port: int, path: str, body: bytes, timeout: float = 300.0):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    try:
+        conn.request("POST", path, body=body)
+        resp = conn.getresponse()
+        data = resp.read()
+        return resp.status, data
+    finally:
+        conn.close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=8,
+                    help="requests per client in the loaded phase")
+    ap.add_argument("--seconds", type=float, default=2.0,
+                    help="audio seconds per request")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 weight-only decode path")
+    ap.add_argument("--ola", action="store_true",
+                    help="overlap-add resynthesis (hop = seg/2)")
+    ap.add_argument("--unloaded-probes", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    from rawaudiovae_kelsey_tpu.config import Config
+    from rawaudiovae_kelsey_tpu.infer import HttpInferenceServer
+    from rawaudiovae_kelsey_tpu.io.wavio import encode_wav_bytes
+    from rawaudiovae_kelsey_tpu.models import build_model
+
+    # Reference-scale dense model (default.ini hyperparameters).
+    cfg = Config()
+    cfg.audio.segment_length = 1024
+    cfg.audio.hop_length = 128
+    cfg.vae.n_units = 2048
+    cfg.vae.latent_dim = 256
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    platform = jax.devices()[0].platform
+
+    seg = cfg.audio.segment_length
+    n = int(args.seconds * SR)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / SR
+    wave = (0.4 * np.sin(2 * np.pi * 440.0 * t)
+            + 0.05 * rng.normal(0, 1, n)).astype(np.float32)
+    body = encode_wav_bytes(wave, SR)
+    path = "/reconstruct?hop=512&ola=1" if args.ola else "/reconstruct"
+
+    lat_loaded: list = []
+    errors: list = []
+
+    with HttpInferenceServer(model, params, sampling_rate=SR, port=0,
+                             batch_size=args.batch_size,
+                             quantize=args.quantize) as srv:
+        srv.backend.max_wait_s = args.max_wait_ms / 1e3
+        port = srv.port
+
+        # Warmup: compile every kind this run exercises and fetch real bytes.
+        status, data = _post(port, path, body)
+        if status != 200:
+            print(json.dumps({"error": f"warmup failed: {status} "
+                              f"{data[:200]!r}"}))
+            sys.exit(1)
+
+        # Unloaded latency: sequential probes, one request in flight.
+        unloaded = []
+        for _ in range(args.unloaded_probes):
+            t0 = time.perf_counter()
+            status, _ = _post(port, path, body)
+            unloaded.append(time.perf_counter() - t0)
+            if status != 200:
+                errors.append(status)
+
+        # Loaded phase: concurrent clients, closed loop.
+        barrier = threading.Barrier(args.clients + 1)
+        lock = threading.Lock()
+
+        def client():
+            mine = []
+            barrier.wait()
+            for _ in range(args.requests):
+                t0 = time.perf_counter()
+                status, _ = _post(port, path, body)
+                dt = time.perf_counter() - t0
+                if status == 200:
+                    mine.append(dt)
+                else:
+                    with lock:
+                        errors.append(status)
+            with lock:
+                lat_loaded.extend(mine)
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(args.clients)]
+        for th in threads:
+            th.start()
+        barrier.wait()
+        t_start = time.perf_counter()
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t_start
+
+    n_ok = len(lat_loaded)
+    total_audio_s = n_ok * args.seconds
+    result = {
+        "metric": "serve_realtime_factor",
+        "value": round(total_audio_s / wall, 1) if wall > 0 else 0.0,
+        "unit": "x_realtime",
+        "platform": platform,
+        "path": path,
+        "clients": args.clients,
+        "requests_ok": n_ok,
+        "errors": len(errors),
+        "audio_seconds_per_request": args.seconds,
+        "quantize": bool(args.quantize),
+        "batch_size": args.batch_size,
+        "requests_per_sec": round(n_ok / wall, 1) if wall > 0 else 0.0,
+        "unloaded_p50_ms": round(_percentile(unloaded, 50) * 1e3, 1),
+        "loaded_p50_ms": round(_percentile(lat_loaded, 50) * 1e3, 1),
+        "loaded_p90_ms": round(_percentile(lat_loaded, 90) * 1e3, 1),
+        "loaded_p99_ms": round(_percentile(lat_loaded, 99) * 1e3, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,11 @@ Endpoints (bodies are WAV bytes via our own codec unless noted):
   POST /reconstruct[?hop=N&ola=1]  → wav in, resynthesized wav out
   POST /encode[?hop=N]             → wav in, npz{mu, logvar} out
   POST /decode                     → npz{z} in, wav of decoded frames out
+  POST /interpolate[?alphas=0,0.5,1 | ?mode=sine&cycles=C][&hop=N&ola=1]
+       → npz{a, b[, alfa][, sr]} in (two waveforms; optional per-frame α
+         curve; optional source sampling rate), interpolated wav out.
+         Stepwise by default (the tutorial's α grid); an ``alfa`` array in
+         the body or ``mode=sine`` selects time-varying interpolation.
 
 Run:  python -m rawaudiovae_kelsey_tpu serve --run <workdir> [--port 8422]
 """
@@ -26,6 +31,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from rawaudiovae_kelsey_tpu.infer.api import sine_alfa
 from rawaudiovae_kelsey_tpu.infer.server import InferenceServer
 from rawaudiovae_kelsey_tpu.io.resample import resample
 from rawaudiovae_kelsey_tpu.io.wavio import (
@@ -121,6 +127,33 @@ class _Handler(BaseHTTPRequestHandler):
                 )
                 self._send(200, _npz_bytes(mu=mu, logvar=logvar),
                            "application/octet-stream")
+            elif parsed.path == "/interpolate":
+                with np.load(io.BytesIO(self._read_body())) as npz:
+                    if "a" not in npz or "b" not in npz:
+                        self._send_json(400, {
+                            "error": "npz body must contain waveform "
+                                     "arrays 'a' and 'b'"})
+                        return
+                    wave_a = np.asarray(npz["a"], np.float32).reshape(-1)
+                    wave_b = np.asarray(npz["b"], np.float32).reshape(-1)
+                    alfa = (np.asarray(npz["alfa"], np.float32).reshape(-1)
+                            if "alfa" in npz else None)
+                    src_sr = int(npz["sr"]) if "sr" in npz else None
+                if src_sr is not None and src_sr != self.sampling_rate:
+                    wave_a = resample(wave_a, src_sr, self.sampling_rate)
+                    wave_b = resample(wave_b, src_sr, self.sampling_rate)
+                alphas = None
+                if "alphas" in q:
+                    alphas = [float(s) for s in q["alphas"][0].split(",")]
+                if q.get("mode", [""])[0] == "sine" and alfa is None:
+                    cycles = float(q.get("cycles", ["1.0"])[0])
+                    alfa = sine_alfa(cycles=cycles)
+                out = self.backend.interpolate(
+                    wave_a, wave_b, alphas=alphas, alfa=alfa,
+                    hop=hop, ola=ola,
+                ).result(self.request_timeout_s)
+                self._send(200, encode_wav_bytes(out, self.sampling_rate),
+                           "audio/wav")
             elif parsed.path == "/decode":
                 with np.load(io.BytesIO(self._read_body())) as npz:
                     z = npz["z"]

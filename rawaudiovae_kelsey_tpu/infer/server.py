@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rawaudiovae_kelsey_tpu.infer.api import frame_audio
+from rawaudiovae_kelsey_tpu.infer.api import frame_audio, stretch_alfa
 from rawaudiovae_kelsey_tpu.infer.synthesis import flat_concat, overlap_add
 from rawaudiovae_kelsey_tpu.models.registry import ModelDef
 from rawaudiovae_kelsey_tpu.models.vae import reparameterize
@@ -133,6 +133,99 @@ class InferenceServer:
         frames = self._to_frames(audio, hop)
         return self._submit(_Request("reconstruct", frames, Future(),
                                      hop=hop, ola=ola))
+
+    def interpolate(self, audio_a: np.ndarray, audio_b: np.ndarray, *,
+                    alphas=None, alfa: Optional[np.ndarray] = None,
+                    hop: Optional[int] = None,
+                    ola: bool = False) -> "Future[np.ndarray]":
+        """→ Future of a latent-interpolation resynthesis of two waveforms
+        (the tutorial's interpolation loops, /root/reference/tutorial.ipynb
+        cells 16-17 stepwise / 36-37 time-varying): encode both, lerp the
+        (mu, logvar) trajectories, decode, resynthesize.
+
+        ``alphas`` (iterable of floats) selects the stepwise mode — one
+        decoded trajectory per α, concatenated; default grid is the
+        reference's ``np.arange(0, 1.1, 0.2)`` (cell 17).  ``alfa`` (an
+        array) selects the time-varying mode — the curve is stretched to
+        the trajectory length (cell 37) and may extrapolate outside [0, 1]
+        exactly like the reference's raw sine.  The two are mutually
+        exclusive.  Sources are trimmed to the shorter trajectory
+        (``match_audio_size`` semantics, cell 13).
+
+        No third executable exists: the request decomposes into the encode
+        and decode kinds through the same coalescing queue, so interpolate
+        traffic batches with every other caller's encodes and decodes."""
+        if alphas is not None and alfa is not None:
+            raise ValueError(
+                "pass either alphas (stepwise grid) or alfa (time-varying "
+                "curve), not both")
+        fa = self._to_frames(np.asarray(audio_a, np.float32), hop)
+        fb = self._to_frames(np.asarray(audio_b, np.float32), hop)
+        n = min(len(fa), len(fb))
+        outer: Future = Future()
+        if n == 0:
+            outer.set_result(np.zeros(0, np.float32))
+            return outer
+        enc_a = self._submit(_Request("encode", fa[:n], Future()))
+        enc_b = self._submit(_Request("encode", fb[:n], Future()))
+
+        remaining = [2]
+        join_lock = threading.Lock()
+
+        def _resynthesize(dec: Future) -> None:
+            if outer.done():
+                return
+            try:
+                frames = dec.result()
+                if ola and hop:
+                    outer.set_result(overlap_add(frames, hop))
+                else:
+                    outer.set_result(flat_concat(frames))
+            except BaseException as e:  # noqa: BLE001
+                outer.set_exception(e)
+
+        def _mix_and_decode(_: Future) -> None:
+            with join_lock:
+                remaining[0] -= 1
+                if remaining[0]:
+                    return
+            if outer.done():
+                return
+            try:
+                mu_a, logvar_a = enc_a.result()
+                mu_b, logvar_b = enc_b.result()
+                if alfa is not None:
+                    a = stretch_alfa(np.asarray(alfa, np.float32), n)[:, None]
+                    mixes = [((1.0 - a) * mu_a + a * mu_b,
+                              (1.0 - a) * logvar_a + a * logvar_b)]
+                else:
+                    grid = (np.arange(0.0, 1.1, 0.2) if alphas is None
+                            else np.asarray(alphas, np.float32))
+                    mixes = [((1.0 - g) * mu_a + g * mu_b,
+                              (1.0 - g) * logvar_a + g * logvar_b)
+                             for g in grid]
+                zs = []
+                for mu, logvar in mixes:
+                    if self.deterministic:
+                        zs.append(np.asarray(mu, np.float32))
+                    else:
+                        # runs on the worker thread (futures fire callbacks
+                        # in the resolving thread), so the tick is
+                        # serialized with reconstruct's
+                        self._tick += 1
+                        key = jax.random.fold_in(self._key, self._tick)
+                        zs.append(np.asarray(
+                            reparameterize(key, jnp.asarray(mu),
+                                           jnp.asarray(logvar))))
+                dec = self.decode(np.concatenate(zs, axis=0))
+                dec.add_done_callback(_resynthesize)
+            except BaseException as e:  # noqa: BLE001
+                if not outer.done():
+                    outer.set_exception(e)
+
+        enc_a.add_done_callback(_mix_and_decode)
+        enc_b.add_done_callback(_mix_and_decode)
+        return outer
 
     # ------------------------------------------------------------ worker ---
     def _to_frames(self, audio: np.ndarray, hop: Optional[int]) -> np.ndarray:

@@ -249,3 +249,99 @@ def test_oversized_body_is_413(server):
     resp = conn.getresponse()
     assert resp.status == 413
     conn.close()
+
+
+def _npz_body(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def test_interpolate_stepwise_endpoint(server):
+    """BASELINE config #5's 'interpolate': the α=0 section of the stepwise
+    grid must equal the plain reconstruction of source A (deterministic
+    server, z = mu), and each grid point contributes one trajectory."""
+    wave_a, wav_bytes_a = _wav_body(n=SEG * 4, seed=10)
+    wave_b, _ = _wav_body(n=SEG * 4, seed=11)
+
+    status, ctype, data = _post(
+        server.port, "/interpolate?alphas=0,0.5,1",
+        _npz_body(a=wave_a, b=wave_b))
+    assert status == 200 and ctype == "audio/wav"
+    out, sr = _wav_from_bytes(data)
+    assert sr == 44100
+    assert out.shape == (3 * 4 * SEG,)
+
+    status, _, recon = _post(server.port, "/reconstruct", wav_bytes_a)
+    assert status == 200
+    recon_a, _ = _wav_from_bytes(recon)
+    np.testing.assert_allclose(out[: 4 * SEG], recon_a, atol=1e-6)
+
+
+def test_interpolate_default_grid_and_mismatched_lengths(server):
+    """Default α grid is the reference's arange(0, 1.1, 0.2) — 6 points —
+    and sources are trimmed to the shorter trajectory (match_audio_size)."""
+    wave_a, _ = _wav_body(n=SEG * 5, seed=12)
+    wave_b, _ = _wav_body(n=SEG * 3, seed=13)
+    status, _, data = _post(server.port, "/interpolate",
+                            _npz_body(a=wave_a, b=wave_b))
+    assert status == 200
+    out, _ = _wav_from_bytes(data)
+    assert out.shape == (6 * 3 * SEG,)
+
+
+def test_interpolate_timevarying_endpoint(server):
+    """An alfa curve in the body selects time-varying mode: ONE trajectory,
+    curve stretched to its length (tutorial cells 36-37)."""
+    wave_a, _ = _wav_body(n=SEG * 4, seed=14)
+    wave_b, _ = _wav_body(n=SEG * 4, seed=15)
+    alfa = np.linspace(-1.0, 1.0, 7).astype(np.float32)  # raw-sine range
+    status, _, data = _post(server.port, "/interpolate",
+                            _npz_body(a=wave_a, b=wave_b, alfa=alfa))
+    assert status == 200
+    out, _ = _wav_from_bytes(data)
+    assert out.shape == (4 * SEG,)
+
+
+def test_interpolate_sine_mode(server):
+    wave_a, _ = _wav_body(n=SEG * 2, seed=16)
+    wave_b, _ = _wav_body(n=SEG * 2, seed=17)
+    status, _, data = _post(server.port, "/interpolate?mode=sine&cycles=2",
+                            _npz_body(a=wave_a, b=wave_b))
+    assert status == 200
+    out, _ = _wav_from_bytes(data)
+    assert out.shape == (2 * SEG,)
+
+
+def test_interpolate_missing_source_is_400(server):
+    wave_a, _ = _wav_body(n=SEG * 2, seed=18)
+    status, _, data = _post(server.port, "/interpolate",
+                            _npz_body(a=wave_a))
+    assert status == 400
+    assert b"'a' and 'b'" in data
+
+
+def test_interpolate_matches_api_composition(server):
+    """The server's decomposed interpolate (encode→mix→decode through the
+    coalescing queue) must equal the inference API composed directly."""
+    from rawaudiovae_kelsey_tpu.infer.api import (
+        encode_trajectory,
+        interpolate_stepwise,
+    )
+    from rawaudiovae_kelsey_tpu.infer.synthesis import flat_concat
+
+    backend = server.backend
+    rng = np.random.default_rng(19)
+    wave_a = rng.uniform(-0.8, 0.8, SEG * 3).astype(np.float32)
+    wave_b = rng.uniform(-0.8, 0.8, SEG * 3).astype(np.float32)
+    alphas = [0.0, 0.25, 0.75]
+
+    got = backend.interpolate(wave_a, wave_b, alphas=alphas).result(120)
+
+    model, params = backend.model, backend.params
+    mu_a, logvar_a = encode_trajectory(model, params, wave_a)
+    mu_b, logvar_b = encode_trajectory(model, params, wave_b)
+    frames = interpolate_stepwise(model, params, mu_a, logvar_a,
+                                  mu_b, logvar_b, alphas=alphas,
+                                  deterministic=True)
+    np.testing.assert_allclose(got, flat_concat(frames), atol=1e-6)
