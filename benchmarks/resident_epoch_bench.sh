@@ -11,9 +11,12 @@
 # the corpus while the permutation+gather overhead grows slower.
 # RNG=tpu_prng + RESIDENT_SHUFFLE=block reproduces the configs/perf_bf16.ini
 # composite.
+# INTERVAL (checkpoint cadence, default 20) isolates the boundary cost:
+# INTERVAL=100000 runs the whole budget boundary-free (the device-rate e2e).
 set -e
 D=$(mktemp -d)
 DURATION=${DURATION:-120} EPOCHS=${EPOCHS:-60} RNG=${RNG:-threefry} \
+INTERVAL=${INTERVAL:-20} \
 RESIDENT_SHUFFLE=${RESIDENT_SHUFFLE:-global} python - "$D" <<'EOF'
 import os, sys, pathlib
 import numpy as np
@@ -48,7 +51,7 @@ kl_beta = 0.0001
 epochs = {os.environ.get("EPOCHS", "60")}
 learning_rate = 0.0001
 batch_size = 4096
-checkpoint_interval = 20
+checkpoint_interval = {os.environ.get("INTERVAL", "20")}
 loss_reduction = mean
 [extra]
 description = resident_bench

@@ -307,25 +307,35 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             print(f"Checkpoint - Epoch {epoch}")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, epoch)
+            # ONE state fetch shared by the best gate and the checkpoint
+            # writer (each used to pull its own copy through the host link)
+            host = L.fetch_host_state(ctx.state)
             # best gate FIRST so the checkpoint meta records this
             # boundary's gate (resume would otherwise restore a one-
             # interval-stale best_loss)
             L.maybe_save_best(ctx, train_loss, epoch,
-                              cfg.training.save_best_model_after)
-            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch)
+                              cfg.training.save_best_model_after,
+                              host_params=None if host is None
+                              else host.params)
+            L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch,
+                                       host_state=host)
 
     if profiling:
         jax.profiler.stop_trace()
-    # post-loop finalization (train.py:254-307)
+    # post-loop finalization (train.py:254-307); one state fetch for the tail
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")
+    host = L.fetch_host_state(ctx.state)
+    host_p = None if host is None else host.params
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, epochs)
     if np.isfinite(train_loss):
         L.maybe_save_best(ctx, train_loss, epochs,
-                          cfg.training.save_best_model_after)
-    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)
-    L.save_last(ctx)
+                          cfg.training.save_best_model_after,
+                          host_params=host_p)
+    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs,
+                               host_state=host)
+    L.save_last(ctx, host_params=host_p)
     return ctx
 
 
@@ -495,6 +505,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         return last
 
     total_t0 = time.perf_counter()
+    io_s = 0.0  # host wall spent in boundary actions (hist/ckpt/best I/O)
     ctx.timer.start()
     epoch = start_epoch
     predispatched = None  # last epoch of a group already in flight
@@ -542,6 +553,11 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         if ((hist_fires or ckpt_fires) and not stop_now
                 and profile_epoch < 0 and epoch + 1 < epochs):
             snap = snap_fn(ctx.state)
+            # stream the snapshot to the host NOW: every boundary action
+            # below reads it (via fetch_host_state), and the async copy
+            # rides the link while the device runs the dispatched-ahead
+            # group — the blocking fetch then finds the bytes resident
+            L.prefetch_host(snap)
             if ckpt_fires and cfg.dataset.generate_test:
                 # device-side eval must be enqueued BEFORE the next group's
                 # dispatch, or it queues behind up to group_k epochs of
@@ -564,16 +580,27 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             next_group = (epoch + 1, nk, dl2, time.perf_counter(), nlast)
 
         drain()  # only groups ≤ the boundary: next_group isn't pending yet
+        io_t0 = time.perf_counter()
         live = None
         if snap is not None:
             live, ctx.state = ctx.state, snap  # actions see boundary state
+        # ONE device→host fetch of the boundary state, shared by every
+        # action below — histograms, the best gate, and the periodic
+        # checkpoint each pulled their own copy before (3× the params plus
+        # the optimizer state ≈ seconds per boundary through the host link).
+        # The identical (hist_fires or ckpt_fires) predicate on every
+        # process keeps any collective fallback paths aligned.
+        host = (L.fetch_host_state(ctx.state)
+                if (hist_fires or ckpt_fires) else None)
+        host_p = None if host is None else host.params
         try:
             if hist_fires:
-                L.log_param_histograms(ctx, epoch)
+                L.log_param_histograms(ctx, epoch, params=host_p)
             # re-sync: a signal may have landed after the dispatch-ahead
             # decision (all processes take the same branch, so the
             # conditional collective still matches up cluster-wide)
             if stop_now or _sync_stop(stop, multihost):
+                ckpt_state = host  # valid unless the state runs ahead below
                 if next_group is not None:
                     # the signal landed after the dispatch-ahead decision:
                     # the next group is already computing on-device.  Fold
@@ -589,22 +616,25 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                         ctx.state, live = live, None
                     epoch = nlast
                     drain()
+                    ckpt_state = None  # snapshot is stale: state ran ahead
                 print(f"Interrupted after epoch {epoch}; checkpointing.")
                 L.save_periodic_checkpoint(ctx, {"epoch": epoch},
-                                           label=epoch)
+                                           label=epoch,
+                                           host_state=ckpt_state)
                 return ctx
             if ckpt_fires:
                 print(f"Checkpoint - Epoch {epoch}")
                 if not hist_every:
-                    L.log_param_histograms(ctx, epoch)
+                    L.log_param_histograms(ctx, epoch, params=host_p)
                 if cfg.dataset.generate_test and not recon_done:
                     L.reconstruct_test_set(ctx, epoch)
                 # best gate first: the checkpoint meta must record this
                 # boundary's gate, not last interval's
                 L.maybe_save_best(ctx, train_loss, epoch,
-                                  cfg.training.save_best_model_after)
+                                  cfg.training.save_best_model_after,
+                                  host_params=host_p)
                 L.save_periodic_checkpoint(ctx, {"epoch": epoch},
-                                           label=epoch)
+                                           label=epoch, host_state=host)
         finally:
             if live is not None:
                 ctx.state = live
@@ -612,6 +642,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             e1, nk, dl2, t_disp, nlast = next_group
             pending.append((e1, nk, dl2, t_disp))
             predispatched = nlast
+        io_s += time.perf_counter() - io_t0
         ctx.timer.start()  # exclude boundary I/O from the next window
         epoch += 1
 
@@ -619,26 +650,32 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     wall = time.perf_counter() - total_t0
     done = epochs - start_epoch
     if done > 0:
-        # the per-window rates above exclude checkpoint I/O (and with the
-        # dispatch-ahead above, device work overlaps it) — this line is the
-        # unambiguous number: every trained frame over the full wall clock
+        # the unambiguous number: every trained frame over the full wall
+        # clock, with the host I/O share (checkpoint/TB state pulls and
+        # writes — a link property, not a device one) broken out so a slow
+        # host link reads as what it is
         print(f"====> Resident epochs e2e: {done} epochs in {wall:.2f}s = "
               f"{done * n_batches * batch_size / max(wall, 1e-9):,.0f} "
-              f"frames/s wall-clock incl. checkpoints")
+              f"frames/s wall-clock incl. checkpoints "
+              f"({io_s:.2f}s of that is boundary host I/O)")
 
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")
+    host = L.fetch_host_state(ctx.state)  # one fetch for the whole tail
+    host_p = None if host is None else host.params
     if not hist_every and epochs > start_epoch and not (
             interval and final_epoch % interval == 0 and final_epoch != 0):
         # (guard: the checkpoint branch already logged this epoch)
-        L.log_param_histograms(ctx, final_epoch)
+        L.log_param_histograms(ctx, final_epoch, params=host_p)
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, epochs)
     if np.isfinite(train_loss):
         L.maybe_save_best(ctx, train_loss, epochs,
-                          cfg.training.save_best_model_after)
-    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs)
-    L.save_last(ctx)
+                          cfg.training.save_best_model_after,
+                          host_params=host_p)
+    L.save_periodic_checkpoint(ctx, {"epoch": epochs}, label=epochs,
+                               host_state=host)
+    L.save_last(ctx, host_params=host_p)
     return ctx
 
 

@@ -289,11 +289,35 @@ def _host_params(params):
     return multihost_utils.process_allgather(params, tiled=True)
 
 
-def log_param_histograms(ctx: TrainContext, step: int) -> None:
+def fetch_host_state(state):
+    """The whole train state as host arrays in ONE device→host fetch — or
+    ``None`` when a leaf is neither addressable nor replicated (exotic
+    sharded-multihost states keep their existing collective paths).
+
+    A checkpoint boundary runs three state-reading actions (histogram
+    logging, the best-model gate, the periodic checkpoint write) and each
+    used to pull its own copy — 3× the parameters plus the optimizer state,
+    several seconds per boundary through a network host link.  Fetching once
+    and sharing the host tree makes a boundary pay for exactly one state
+    transfer (and :func:`prefetch_host` at snapshot time streams those bytes
+    behind the dispatched-ahead group, so the fetch here finds them mostly
+    resident).  Purely local — safe at any point on any process."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    if not all(not isinstance(l, jax.Array)
+               or l.is_fully_addressable or l.is_fully_replicated
+               for l in leaves):
+        return None
+    return jax.tree_util.tree_unflatten(treedef, jax.device_get(leaves))
+
+
+def log_param_histograms(ctx: TrainContext, step: int,
+                         params=None) -> None:
     """Per-parameter histograms with torch-style dotted names
     (train.py:203-204).  For the dense model the tags match the reference
-    exactly (``fc1.weight`` …) via the compat layout."""
-    params = _host_params(ctx.state.params)
+    exactly (``fc1.weight`` …) via the compat layout.  ``params`` may pass a
+    pre-fetched host tree (see :func:`fetch_host_state`) to skip the device pull."""
+    if params is None:
+        params = _host_params(ctx.state.params)
     if ctx.model.name == "dense":
         from rawaudiovae_kelsey_tpu.compat import params_to_state_dict
 
@@ -307,7 +331,12 @@ def log_param_histograms(ctx: TrainContext, step: int) -> None:
 
 
 def save_periodic_checkpoint(ctx: TrainContext, extra: dict,
-                             label: int | None = None) -> Path:
+                             label: int | None = None,
+                             host_state=None) -> Path:
+    """``host_state`` may pass a pre-fetched host tree (see
+    :func:`fetch_host_state`) — used by the npz writer to skip its own device
+    pull.  The orbax path always hands the live jax.Arrays to orbax (its
+    distributed protocol wants the sharded arrays, not a host gather)."""
     extra = dict(extra)
     extra["best_loss"] = ctx.best_loss
     if ctx.cfg.tpu.checkpoint_format == "orbax":
@@ -315,21 +344,26 @@ def save_periodic_checkpoint(ctx: TrainContext, extra: dict,
             ctx.workspace.checkpoint_dir, ctx.state, extra, label=label
         )
     return ckpt.save_checkpoint(
-        ctx.workspace.checkpoint_dir, ctx.state, extra, label=label
+        ctx.workspace.checkpoint_dir,
+        ctx.state if host_state is None else host_state,
+        extra, label=label,
     )
 
 
 def maybe_save_best(ctx: TrainContext, train_loss: float, step_label: int,
-                    after: int) -> bool:
+                    after: int, host_params=None) -> bool:
     """Best-model gate with a real best tracker (the reference's
-    ``train_loss_prev`` started at 1e6 and was never updated — quirk #7)."""
+    ``train_loss_prev`` started at 1e6 and was never updated — quirk #7).
+    ``host_params`` may pass a pre-fetched host tree (see
+    :func:`fetch_host_state`)."""
     if step_label > after and train_loss < ctx.best_loss:
         ctx.best_loss = train_loss
         # BEFORE the process gate: every process's cfg must agree (the
         # config snapshot is written by process 0, and a collective host
         # gather needs all processes)
         ctx.cfg.training.best_epoch = str(step_label)
-        host = _host_params(ctx.state.params)
+        host = (host_params if host_params is not None
+                else _host_params(ctx.state.params))
         path = ctx.workspace.model_dir / "best_model.npz"
         if jax.process_index() != 0:
             return True
@@ -341,12 +375,13 @@ def maybe_save_best(ctx: TrainContext, train_loss: float, step_label: int,
     return False
 
 
-def save_last(ctx: TrainContext) -> Path:
+def save_last(ctx: TrainContext, host_params=None) -> Path:
     path = ctx.workspace.model_dir / "last_model.npz"
-    host = _host_params(ctx.state.params)  # collective — before the gate
+    if host_params is None:
+        host_params = _host_params(ctx.state.params)  # collective — pre-gate
     if jax.process_index() != 0:
         return path
-    ckpt.save_params(path, host)
+    ckpt.save_params(path, host_params)
     print("Training Finished: Saved the last model")
     return path
 

@@ -278,9 +278,14 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             # both degenerate; see DIVERGENCES.md) — so the checkpoint meta
             # records this boundary's gate, not last interval's
             interval_mean = window_loss / max(window_count, 1)
-            L.maybe_save_best(ctx, interval_mean, batch_id, after=0)
+            # ONE state fetch shared by the best gate and the checkpoint
+            # writer (each used to pull its own copy through the host link)
+            host = L.fetch_host_state(ctx.state)
+            L.maybe_save_best(ctx, interval_mean, batch_id, after=0,
+                              host_params=None if host is None
+                              else host.params)
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
-                                       label=batch_id)
+                                       label=batch_id, host_state=host)
             window_loss, window_count = 0.0, 0
             # restart AFTER checkpoint I/O so the reported frames/s measures
             # the training window, not eval/save traffic
@@ -289,15 +294,17 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     drain()
     # final reconstruction + saves (train_iterable.py:271-319)
     print(f"Last Checkpoint - Batch {total_num_batches}")
+    host = L.fetch_host_state(ctx.state)  # one fetch for the whole tail
+    host_p = None if host is None else host.params
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, total_num_batches)
     if window_count:  # an empty window (final batch == a checkpoint
         # boundary) must not feed the best gate a fake 0.0
         L.maybe_save_best(ctx, window_loss / window_count,
-                          total_num_batches, after=0)
+                          total_num_batches, after=0, host_params=host_p)
     L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
-                               label=total_num_batches)
-    L.save_last(ctx)
+                               label=total_num_batches, host_state=host)
+    L.save_last(ctx, host_params=host_p)
     return ctx
 
 
@@ -649,22 +656,28 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                   f"({n_window * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
+            # ONE state fetch shared by the best gate and the checkpoint
+            # writer (each used to pull its own copy through the host link)
+            host = L.fetch_host_state(ctx.state)
+            host_p = None if host is None else host.params
             # best gate first: the meta must record this boundary's gate
             L.maybe_save_best(ctx, window_loss / max(window_count, 1),
-                              batch_id, after=0)
+                              batch_id, after=0, host_params=host_p)
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
-                                       label=batch_id)
+                                       label=batch_id, host_state=host)
             window_loss, window_count = 0.0, 0
             ctx.timer.start()  # exclude checkpoint I/O from the next window
 
     drain()
     print(f"Last Checkpoint - Batch {total_num_batches}")
+    host = L.fetch_host_state(ctx.state)  # one fetch for the whole tail
+    host_p = None if host is None else host.params
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, total_num_batches)
     if window_count:
         L.maybe_save_best(ctx, window_loss / window_count,
-                          total_num_batches, after=0)
+                          total_num_batches, after=0, host_params=host_p)
     L.save_periodic_checkpoint(ctx, {"batch_id": total_num_batches},
-                               label=total_num_batches)
-    L.save_last(ctx)
+                               label=total_num_batches, host_state=host)
+    L.save_last(ctx, host_params=host_p)
     return ctx
