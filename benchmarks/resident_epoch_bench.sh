@@ -16,7 +16,7 @@
 set -e
 D=$(mktemp -d)
 DURATION=${DURATION:-120} EPOCHS=${EPOCHS:-60} RNG=${RNG:-threefry} \
-INTERVAL=${INTERVAL:-20} \
+INTERVAL=${INTERVAL:-20} ASYNC=${ASYNC:-true} \
 RESIDENT_SHUFFLE=${RESIDENT_SHUFFLE:-global} python - "$D" <<'EOF'
 import os, sys, pathlib
 import numpy as np
@@ -59,6 +59,7 @@ description = resident_bench
 precision = bfloat16
 device_resident = always
 resident_shuffle = {os.environ.get("RESIDENT_SHUFFLE", "global")}
+async_checkpoint = {os.environ.get("ASYNC", "true")}
 rng = {os.environ.get("RNG", "threefry")}
 """)
 print(d)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import socket
 import struct
+import threading
 import time
 from pathlib import Path
 from typing import Optional, Union
@@ -189,15 +190,20 @@ class EventWriter:
         )
         self.path = self.log_dir / fname  # this process's own event file
         self._fh = open(self.path, "ab")
+        # records may be appended from the trainer thread and the async
+        # checkpoint-boundary worker concurrently; each record is 4 writes
+        # that must not interleave or the TFRecord stream tears
+        self._lock = threading.Lock()
         self._write_event(_event(_f_str(3, "brain.Event:2")))
 
     # -- record framing --
     def _write_record(self, payload: bytes) -> None:
         header = struct.pack("<Q", len(payload))
-        self._fh.write(header)
-        self._fh.write(struct.pack("<I", _masked_crc(header)))
-        self._fh.write(payload)
-        self._fh.write(struct.pack("<I", _masked_crc(payload)))
+        with self._lock:
+            self._fh.write(header)
+            self._fh.write(struct.pack("<I", _masked_crc(header)))
+            self._fh.write(payload)
+            self._fh.write(struct.pack("<I", _masked_crc(payload)))
 
     def _write_event(self, event: bytes) -> None:
         self._write_record(event)
@@ -232,7 +238,8 @@ class EventWriter:
         self._write_summary(v, step)
 
     def flush(self) -> None:
-        self._fh.flush()
+        with self._lock:
+            self._fh.flush()
 
     def close(self) -> None:
         self.flush()

@@ -488,6 +488,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     # exactly one dispatch).
     snap_fn = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))
 
+    # Async boundary I/O (see AsyncBoundaryWriter): the state fetch and the
+    # histogram/best/periodic writes leave the training thread entirely.
+    # Single-process npz runs only — multihost boundary actions contain
+    # collectives that must stay on the main thread in program order, and
+    # orbax runs its own async protocol against the live jax.Arrays.
+    bwriter = (L.AsyncBoundaryWriter()
+               if (cfg.tpu.async_checkpoint and not multihost
+                   and cfg.tpu.checkpoint_format != "orbax") else None)
+
     def group_end(e0: int) -> int:
         """Last epoch (inclusive) of the group starting at e0.  A group
         runs through the first epoch whose post-epoch action fires (a
@@ -584,22 +593,37 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         live = None
         if snap is not None:
             live, ctx.state = ctx.state, snap  # actions see boundary state
-        # ONE device→host fetch of the boundary state, shared by every
-        # action below — histograms, the best gate, and the periodic
-        # checkpoint each pulled their own copy before (3× the params plus
-        # the optimizer state ≈ seconds per boundary through the host link).
-        # The identical (hist_fires or ckpt_fires) predicate on every
-        # process keeps any collective fallback paths aligned.
+        # With a device snapshot in hand the boundary I/O can leave this
+        # thread entirely: the worker fetches the snapshot and runs the
+        # histogram/best/periodic writes while the loop trains ahead.
+        use_async = bwriter is not None and snap is not None
+        # ONE device→host fetch of the boundary state (sync path only — the
+        # async path fetches on the worker), shared by every action below —
+        # histograms, the best gate, and the periodic checkpoint each pulled
+        # their own copy before (3× the params plus the optimizer state ≈
+        # seconds per boundary through the host link).  The identical
+        # (hist_fires or ckpt_fires) predicate on every process keeps any
+        # collective fallback paths aligned.
         host = (L.fetch_host_state(ctx.state)
-                if (hist_fires or ckpt_fires) else None)
+                if (hist_fires or ckpt_fires) and not use_async else None)
         host_p = None if host is None else host.params
         try:
-            if hist_fires:
+            if hist_fires and not use_async:
                 L.log_param_histograms(ctx, epoch, params=host_p)
             # re-sync: a signal may have landed after the dispatch-ahead
             # decision (all processes take the same branch, so the
             # conditional collective still matches up cluster-wide)
             if stop_now or _sync_stop(stop, multihost):
+                if bwriter is not None:
+                    # settle any in-flight boundary first: the best gate and
+                    # artifact trail must be in order before the interrupt
+                    # checkpoint (and its errors must surface here, not be
+                    # dropped with the process exit)
+                    bwriter.flush()
+                if hist_fires and use_async:  # not logged above
+                    host = L.fetch_host_state(ctx.state)
+                    host_p = None if host is None else host.params
+                    L.log_param_histograms(ctx, epoch, params=host_p)
                 ckpt_state = host  # valid unless the state runs ahead below
                 if next_group is not None:
                     # the signal landed after the dispatch-ahead decision:
@@ -622,7 +646,34 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                                            label=epoch,
                                            host_state=ckpt_state)
                 return ctx
-            if ckpt_fires:
+            if use_async:
+                if ckpt_fires:
+                    print(f"Checkpoint - Epoch {epoch}")
+                    if cfg.dataset.generate_test and not recon_done:
+                        # device work stays on the loop thread (snap is
+                        # normally reconstructed at dispatch-ahead already)
+                        L.reconstruct_test_set(ctx, epoch)
+                # the worker owns the snapshot from here; the closure never
+                # touches ctx.state (ctx.best_loss/cfg/writer mutations are
+                # worker-sequential, and the loop only reads them after a
+                # flush — interrupt or end of run)
+                def boundary_io(bs=ctx.state, ep=epoch, tl=train_loss,
+                                hist=hist_fires, ck=ckpt_fires):
+                    h = L.fetch_host_state(bs)
+                    hp = None if h is None else h.params
+                    if hist or (ck and not hist_every):
+                        L.log_param_histograms(ctx, ep, params=hp)
+                    if ck:
+                        # best gate first: the checkpoint meta must record
+                        # this boundary's gate, not last interval's
+                        L.maybe_save_best(ctx, tl, ep,
+                                          cfg.training.save_best_model_after,
+                                          host_params=hp)
+                        L.save_periodic_checkpoint(ctx, {"epoch": ep},
+                                                   label=ep, host_state=h)
+
+                bwriter.submit(boundary_io)
+            elif ckpt_fires:
                 print(f"Checkpoint - Epoch {epoch}")
                 if not hist_every:
                     L.log_param_histograms(ctx, epoch, params=host_p)
@@ -647,6 +698,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         epoch += 1
 
     drain()
+    if bwriter is not None:
+        bwriter.flush()  # settle the last boundary before the tail reads
     wall = time.perf_counter() - total_t0
     done = epochs - start_epoch
     if done > 0:

@@ -8,6 +8,8 @@ drivers are thin loops over this.
 
 from __future__ import annotations
 
+import threading
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Optional
@@ -308,6 +310,57 @@ def fetch_host_state(state):
                for l in leaves):
         return None
     return jax.tree_util.tree_unflatten(treedef, jax.device_get(leaves))
+
+
+class AsyncBoundaryWriter:
+    """Checkpoint-boundary host I/O on a background thread.
+
+    Even with the boundary state snapshotted on-device and the next group
+    dispatched ahead, the TRAINING THREAD still blocked on the boundary's
+    host work — one full state fetch through the host link plus the
+    histogram/best/periodic writes (~1.6 s per boundary through a network
+    tunnel, milliseconds on local PCIe but still serial with training).
+    Submitting the boundary closure here takes it off the critical path
+    entirely: the loop trains ahead while the worker fetches and writes.
+
+    Depth 1 by design: ``submit`` first waits for the previous boundary, so
+    at most one snapshot is alive off-loop (bounds host+device memory) and
+    boundaries execute strictly in order (the best gate mutates shared
+    bookkeeping).  ``flush()`` joins the in-flight boundary and re-raises
+    any worker exception on the caller — the trainers flush before
+    interrupt checkpoints and the end-of-run tail, so those always see
+    settled ``best_loss``/artifact state.  Only safe when the closure is
+    collective-free (single-process, or pre-fetched host trees)."""
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    def submit(self, fn: Callable[[], None]) -> float:
+        """Queue ``fn``; returns seconds spent waiting for the PREVIOUS
+        boundary to clear (the only part of the I/O left on the loop)."""
+        t0 = time.perf_counter()
+        self.flush()
+        wait_s = time.perf_counter() - t0
+
+        def run() -> None:
+            try:
+                fn()
+            except BaseException as e:  # re-raised on the loop at flush
+                self._err = e
+
+        self._thread = threading.Thread(
+            target=run, name="boundary-io", daemon=True)
+        self._thread.start()
+        return wait_s
+
+    def flush(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("checkpoint-boundary I/O failed") from err
 
 
 def log_param_histograms(ctx: TrainContext, step: int,

@@ -609,6 +609,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     mh = jax.process_count() > 1
     from rawaudiovae_kelsey_tpu.train.epoch import _sync_stop
 
+    # Async boundary I/O (loop.AsyncBoundaryWriter): a checkpoint crossing
+    # snapshots the state on-device (fresh buffers — the next chunk donates
+    # the live state) and the worker fetches + writes while the loop streams
+    # ahead.  Same gate as the epoch trainer: single-process npz only.
+    bwriter = (L.AsyncBoundaryWriter()
+               if (cfg.tpu.async_checkpoint and not mh
+                   and cfg.tpu.checkpoint_format != "orbax") else None)
+    snap_fn = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))
+
     ctx.timer.start()
     window_mark = start_batch  # first batch of the current rate window
     for ci, idx_dev in enumerate(staged):
@@ -641,6 +650,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         if stop_now:
             staged.close()
             drain()
+            if bwriter is not None:
+                bwriter.flush()  # settle the best gate/artifact trail first
             print(f"Interrupted at batch {batch_id}; checkpointing.")
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
                                        label=batch_id)
@@ -656,19 +667,42 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                   f"({n_window * batch_size / max(step_time, 1e-9):,.0f} frames/s)")
             if cfg.dataset.generate_test:
                 L.reconstruct_test_set(ctx, batch_id)
-            # ONE state fetch shared by the best gate and the checkpoint
-            # writer (each used to pull its own copy through the host link)
-            host = L.fetch_host_state(ctx.state)
-            host_p = None if host is None else host.params
-            # best gate first: the meta must record this boundary's gate
-            L.maybe_save_best(ctx, window_loss / max(window_count, 1),
-                              batch_id, after=0, host_params=host_p)
-            L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
-                                       label=batch_id, host_state=host)
+            wmean = window_loss / max(window_count, 1)
+            if bwriter is not None:
+                # snapshot on-device (the next chunk donates the live
+                # state) and run the fetch + writes off-thread; the worker
+                # owns the snapshot, the loop streams ahead
+                boundary_state = snap_fn(ctx.state)
+                L.prefetch_host(boundary_state)
+
+                def boundary_io(bs=boundary_state, bid=batch_id, wl=wmean):
+                    h = L.fetch_host_state(bs)
+                    # best gate first: the meta must record this
+                    # boundary's gate
+                    L.maybe_save_best(ctx, wl, bid, after=0,
+                                      host_params=None if h is None
+                                      else h.params)
+                    L.save_periodic_checkpoint(ctx, {"batch_id": bid},
+                                               label=bid, host_state=h)
+
+                bwriter.submit(boundary_io)
+            else:
+                # ONE state fetch shared by the best gate and the
+                # checkpoint writer (each used to pull its own copy
+                # through the host link)
+                host = L.fetch_host_state(ctx.state)
+                host_p = None if host is None else host.params
+                # best gate first: the meta must record this boundary's gate
+                L.maybe_save_best(ctx, wmean, batch_id, after=0,
+                                  host_params=host_p)
+                L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
+                                           label=batch_id, host_state=host)
             window_loss, window_count = 0.0, 0
             ctx.timer.start()  # exclude checkpoint I/O from the next window
 
     drain()
+    if bwriter is not None:
+        bwriter.flush()  # settle the last boundary before the tail reads
     print(f"Last Checkpoint - Batch {total_num_batches}")
     host = L.fetch_host_state(ctx.state)  # one fetch for the whole tail
     host_p = None if host is None else host.params

@@ -254,6 +254,109 @@ def test_resident_checkpoint_pipelining_bitexact(scratch_dataset):
     assert int(jax.device_get(restored.step)) == end_step * 3 // 5
 
 
+def test_async_boundary_matches_sync(scratch_dataset):
+    """`[tpu] async_checkpoint` moves boundary host I/O (state fetch +
+    histogram/best/periodic writes) to a background worker.  Artifacts must
+    be byte-identical to the synchronous path: same checkpoint files, same
+    best/last models, same final state."""
+    import jax
+
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    runs = {}
+    for mode in (True, False):
+        cfg = small_cfg(scratch_dataset)
+        cfg.tpu.device_resident = "always"
+        cfg.training.epochs = 5
+        cfg.training.checkpoint_interval = 2
+        cfg.tpu.async_checkpoint = mode
+        cfg.extra.description = f"async_{mode}"
+        runs[mode] = train(cfg, verbose=False)
+
+    pa = jax.tree_util.tree_leaves(jax.device_get(runs[True].state.params))
+    pb = jax.tree_util.tree_leaves(jax.device_get(runs[False].state.params))
+    for la, lb in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert runs[True].best_loss == runs[False].best_loss
+
+    for rel in ("model/checkpoints/ckpt_00002.npz",
+                "model/checkpoints/ckpt_00004.npz",
+                "model/checkpoints/ckpt_00005.npz",
+                "model/best_model.npz", "model/last_model.npz"):
+        fa = runs[True].workspace.workdir / rel
+        fb = runs[False].workspace.workdir / rel
+        assert fa.exists() and fb.exists(), rel
+        assert fa.read_bytes() == fb.read_bytes(), rel
+
+
+def test_async_boundary_stream_matches_sync(scratch_dataset):
+    """Same equality for the resident stream trainer's boundaries."""
+    import jax
+
+    from rawaudiovae_kelsey_tpu.train.stream import train
+
+    runs = {}
+    for mode in (True, False):
+        cfg = small_cfg(scratch_dataset)
+        cfg.tpu.device_resident = "always"
+        cfg.training.total_num_frames = 32 * 20
+        cfg.training.checkpoint_interval = 8
+        cfg.tpu.async_checkpoint = mode
+        cfg.extra.description = f"async_st_{mode}"
+        runs[mode] = train(cfg, verbose=False)
+
+    pa = jax.tree_util.tree_leaves(jax.device_get(runs[True].state.params))
+    pb = jax.tree_util.tree_leaves(jax.device_get(runs[False].state.params))
+    for la, lb in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    ck_a = sorted(p.name for p in
+                  (runs[True].workspace.checkpoint_dir).glob("*.npz"))
+    ck_b = sorted(p.name for p in
+                  (runs[False].workspace.checkpoint_dir).glob("*.npz"))
+    assert ck_a == ck_b and ck_a
+    for name in ck_a:
+        assert (runs[True].workspace.checkpoint_dir / name).read_bytes() == \
+            (runs[False].workspace.checkpoint_dir / name).read_bytes()
+
+
+def test_async_boundary_writer_error_surfaces():
+    """A failed boundary write must fail the RUN (at the next submit or
+    flush), not vanish with the worker thread."""
+    from rawaudiovae_kelsey_tpu.train.loop import AsyncBoundaryWriter
+
+    w = AsyncBoundaryWriter()
+
+    def boom():
+        raise OSError("disk full")
+
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="boundary I/O failed"):
+        w.flush()
+    # the error is consumed: the writer is reusable afterwards
+    seen = []
+    w.submit(lambda: seen.append(1))
+    w.flush()
+    assert seen == [1]
+
+
+def test_async_boundary_io_error_fails_training(scratch_dataset, monkeypatch):
+    """Integration: an OSError inside the async boundary closure (e.g. the
+    checkpoint write hitting a full disk) propagates out of train()."""
+    from rawaudiovae_kelsey_tpu.train import epoch as ep
+
+    def explode(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ep.L, "save_periodic_checkpoint", explode)
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.training.epochs = 6
+    cfg.training.checkpoint_interval = 2
+    cfg.extra.description = "async_err"
+    with pytest.raises((RuntimeError, OSError)):
+        ep.train(cfg, verbose=False)
+
+
 def test_epoch_mesh_indivisible_batch_size_rejected(scratch_dataset):
     """Review regression: a batch_size not divisible by the mesh device
     count would make pad_batches_for_mesh wrap rows in EVERY batch,
