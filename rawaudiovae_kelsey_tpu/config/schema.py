@@ -190,13 +190,14 @@ class TPUConfig:
     # Checkpoint format: "npz" (flat pytree leaves + json sidecar) |
     # "orbax" (sharded, multi-host friendly).
     checkpoint_format: str = "npz"
-    # Run checkpoint-boundary host I/O (the state fetch plus the histogram/
-    # best/periodic writes) on a background thread so the training loop never
-    # blocks on it.  Honored by the device-resident trainers on
-    # single-process npz runs (multihost boundary actions contain
-    # collectives, and orbax runs its own async protocol — both stay
-    # synchronous).  Artifacts are byte-identical; an I/O error surfaces at
-    # the next boundary instead of instantly.  See DIVERGENCES.md.
+    # Never block the training loop on checkpoint-boundary host I/O.  npz
+    # (single-process): the state fetch plus the histogram/best/periodic
+    # writes run on a background worker thread.  orbax: save() returns
+    # after the device→host copy and orbax's own background threads finish
+    # the write — including the multihost commit protocol, so this works
+    # across hosts.  Multihost npz boundary actions contain collectives and
+    # stay synchronous.  Artifacts are byte-identical; an I/O error surfaces
+    # at the next boundary/flush instead of instantly.  See DIVERGENCES.md.
     async_checkpoint: bool = True
     # Multi-host (DCN): initialize jax.distributed at driver start.  On TPU
     # pods the coordinator/process info comes from the environment.

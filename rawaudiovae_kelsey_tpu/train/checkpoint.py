@@ -134,6 +134,8 @@ def restore_checkpoint(path: Path, template: TrainState
 
 def latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
     """Newest checkpoint in a dir — npz files and orbax dirs both count."""
+    if _ASYNC_CKPTR is not None:
+        wait_for_orbax()  # same-process scan must see in-flight saves
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.is_dir():
         return None
@@ -184,25 +186,66 @@ def load_params(path: Path, template: Any) -> Any:
 
 # ---------------------------------------------------------------- orbax -----
 
+_ASYNC_CKPTR = None              # process-lifetime StandardCheckpointer
+_PENDING_META: list = []         # (path, extra, step) deferred to the wait
+
+
+def _orbax_checkpointer():
+    """Process-lifetime ``StandardCheckpointer``.  Persistent so saves can
+    run ASYNC: ``save()`` blocks only for the device→host copy (after which
+    donating the live state is safe) while the disk write — and on
+    multihost, the cross-process commit protocol — continues on orbax's
+    background threads.  A with-block per save would force a full wait every
+    time, which is exactly the boundary stall `[tpu] async_checkpoint`
+    removes."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def wait_for_orbax() -> None:
+    """Block until every in-flight orbax save has committed, then write the
+    deferred meta sidecars (they may only land inside a FINALIZED checkpoint
+    dir — orbax renames the tmp dir into place at commit).  Safe to call any
+    time; the trainers call it before interrupt/final saves and in
+    ``loop.finish`` so a run never exits with a write in flight."""
+    global _PENDING_META
+    if _ASYNC_CKPTR is None:
+        return
+    _ASYNC_CKPTR.wait_until_finished()
+    pend, _PENDING_META = _PENDING_META, []
+    for path, extra, step in pend:
+        _write_meta(path / "meta.json", extra, step)
+
+
 def save_checkpoint_orbax(ckpt_dir: Path, state: TrainState,
                           extra: Optional[Dict[str, Any]] = None,
-                          label: Optional[int] = None) -> Path:
-    import orbax.checkpoint as ocp
-
+                          label: Optional[int] = None,
+                          wait: bool = True) -> Path:
+    """``wait=False`` (used by the trainers under `[tpu] async_checkpoint`)
+    returns as soon as the arrays are copied off-device; the disk write and
+    multihost commit finish in background.  The meta sidecar is deferred to
+    :func:`wait_for_orbax` — a crash before the wait loses the PENDING save
+    (async semantics), never a committed one; resume tolerates a missing
+    sidecar."""
     step = int(jax.device_get(state.step))
     if label is None:
         label = step
     path = Path(ckpt_dir).resolve() / f"orbax_{label:05d}"
-    with ocp.StandardCheckpointer() as ckptr:
-        # hand orbax the jax.Arrays directly: device_get would crash on
-        # non-fully-addressable multi-host arrays and forfeit sharded saving
-        ckptr.save(path, state)
-    _write_meta(path / "meta.json", extra, step)
+    ckptr = _orbax_checkpointer()
+    # hand orbax the jax.Arrays directly: device_get would crash on
+    # non-fully-addressable multi-host arrays and forfeit sharded saving
+    ckptr.save(path, state)
+    _PENDING_META.append((path, extra, step))
+    if wait:
+        wait_for_orbax()
     return path
 
 
 def restore_checkpoint_orbax(path: Path, template: TrainState) -> TrainState:
-    import orbax.checkpoint as ocp
-
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(Path(path).resolve(), template)
+    wait_for_orbax()  # a same-process restore must see in-flight saves
+    ckptr = _orbax_checkpointer()
+    return ckptr.restore(Path(path).resolve(), template)

@@ -393,8 +393,13 @@ def save_periodic_checkpoint(ctx: TrainContext, extra: dict,
     extra = dict(extra)
     extra["best_loss"] = ctx.best_loss
     if ctx.cfg.tpu.checkpoint_format == "orbax":
+        # async_checkpoint → return after the device→host copy; orbax's own
+        # background threads finish the write (and the multihost commit).
+        # finish()/restore/latest_checkpoint wait, so nothing exits or
+        # resumes past an in-flight save.
         return ckpt.save_checkpoint_orbax(
-            ctx.workspace.checkpoint_dir, ctx.state, extra, label=label
+            ctx.workspace.checkpoint_dir, ctx.state, extra, label=label,
+            wait=not ctx.cfg.tpu.async_checkpoint,
         )
     return ckpt.save_checkpoint(
         ctx.workspace.checkpoint_dir,
@@ -440,6 +445,7 @@ def save_last(ctx: TrainContext, host_params=None) -> Path:
 
 
 def finish(ctx: TrainContext) -> None:
+    ckpt.wait_for_orbax()  # never exit with an async save in flight
     ctx.cfg.stamp_end()
     ctx.workspace.snapshot_config(ctx.cfg)
     ctx.close()

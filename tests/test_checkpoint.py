@@ -187,8 +187,10 @@ def test_orbax_driver_roundtrip(cfg, tmp_path):
     ws = Workspace(tmp_path)
     ctx = SimpleNamespace(cfg=cfg, state=state, workspace=ws, best_loss=0.25)
     p = save_periodic_checkpoint(ctx, {"epoch": 4}, label=4)
-    assert p.is_dir() and p.name == "orbax_00004"
+    # async_checkpoint (default): the dir commits at the next wait point —
+    # latest_checkpoint is one, so the scan below must both wait and find it
     assert latest_checkpoint(ws.checkpoint_dir) == p
+    assert p.is_dir() and p.name == "orbax_00004"
     _, _, template = _mk(cfg, seed=1)
     restored, meta = restore_checkpoint(p, template)
     assert meta["epoch"] == 4 and meta["best_loss"] == 0.25
@@ -256,3 +258,36 @@ def test_restore_preserves_template_mesh_sharding(cfg, tmp_path):
         np.asarray(jax.device_get(got)),
         np.asarray(jax.device_get(state.params["fc1"]["w"])),
     )
+
+
+def test_orbax_async_save_commits_on_wait(cfg, tmp_path):
+    """wait=False returns immediately after the device→host copy; the dir
+    and its meta sidecar are committed by wait_for_orbax() (called by
+    restore/latest/finish) — and the state may be mutated/donated after
+    save() returns without corrupting the write."""
+    pytest.importorskip("orbax.checkpoint")
+    from rawaudiovae_kelsey_tpu.train import checkpoint as C
+
+    model, opt, state = _mk(cfg, seed=11)
+    want = np.asarray(jax.device_get(state.params["fc1"]["w"])).copy()
+    p1 = C.save_checkpoint_orbax(tmp_path, state, {"epoch": 1}, label=1,
+                                 wait=False)
+    # mutate the live state AFTER the async save started: the snapshot
+    # orbax copied must be unaffected
+    import dataclasses
+    state = dataclasses.replace(state, params=jax.tree_util.tree_map(
+        lambda x: x * 0, state.params))
+    p2 = C.save_checkpoint_orbax(tmp_path, state, {"epoch": 2}, label=2,
+                                 wait=False)
+    C.wait_for_orbax()
+    assert p1.is_dir() and p2.is_dir()
+    import json
+    assert json.loads((p1 / "meta.json").read_text())["epoch"] == 1
+    assert json.loads((p2 / "meta.json").read_text())["epoch"] == 2
+    _, _, template = _mk(cfg, seed=99)
+    r1, meta1 = restore_checkpoint(p1, template)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(r1.params["fc1"]["w"])), want)
+    r2, _ = restore_checkpoint(p2, template)
+    assert float(np.abs(np.asarray(
+        jax.device_get(r2.params["fc1"]["w"]))).max()) == 0.0

@@ -580,3 +580,38 @@ def test_epoch_trainer_host_fed_mesh_path(scratch_dataset):
     ctx = train(cfg, verbose=False)
     assert ctx.mesh is not None  # really ran under the 8-device mesh
     assert (ctx.workspace.model_dir / "last_model.npz").exists()
+
+
+def test_epoch_trainer_orbax_async_and_resume(scratch_dataset):
+    """checkpoint_format=orbax through the full epoch trainer with the
+    default async_checkpoint: every periodic checkpoint must be committed
+    by the time train() returns (finish() waits for in-flight orbax saves),
+    and a resumed run picks up from the newest one."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.tpu.checkpoint_format = "orbax"
+    cfg.training.epochs = 4
+    cfg.training.checkpoint_interval = 2
+    cfg.extra.description = "orbax_e2e"
+    ctx = train(cfg, verbose=False)
+    names = sorted(p.name for p in ctx.workspace.checkpoint_dir.iterdir()
+                   if p.is_dir())
+    assert "orbax_00002" in names and "orbax_00004" in names
+    # no uncommitted tmp dirs left behind
+    assert not [n for n in names if "tmp" in n]
+    end_step = int(jax.device_get(ctx.state.step))
+
+    cfg2 = small_cfg(scratch_dataset)
+    cfg2.tpu.device_resident = "always"
+    cfg2.tpu.checkpoint_format = "orbax"
+    cfg2.training.epochs = 6
+    cfg2.training.checkpoint_interval = 2
+    cfg2.training.resume = True
+    cfg2.extra.description = "orbax_e2e"
+    ctx2 = train(cfg2, verbose=False)
+    assert int(jax.device_get(ctx2.state.step)) > end_step
