@@ -392,12 +392,16 @@ MATRIX = [
      "precision": "bfloat16", "backend": "pallas"},
     {"name": "dense_bf16_xla", "arch": "dense", "batch": 4096,
      "precision": "bfloat16", "backend": "xla"},
-    # giant batch keeps XLA: measured pallas 4.11 M vs xla 4.63 M — the
-    # gradient-accumulation scan overlaps better under XLA's scheduler
+    # giant batch: pallas.  An early round-3 pair read "pallas 4.11 M vs
+    # xla 4.63 M — the scan overlaps better under XLA"; re-paired on a
+    # healthy link the verdict flipped (same-session: pallas 4.83 M @
+    # 84.9% MFU vs xla 4.80 M; monolithic batch-8192 pallas 4.78 vs xla
+    # 4.65) — the 4.11 reading was degraded-day noise, and the larger
+    # µbatch tiles lift MFU above the 4096 configs for BOTH backends.
     # chain 8: a giant step is ~28 ms of device time, so chain-4 windows
     # left a ~15% dispatch tail (measured 4.23 M vs 4.6 M chained deeper)
     {"name": "dense_bf16_giant_batch", "arch": "dense", "batch": 131072,
-     "precision": "bfloat16", "backend": "xla", "microbatch": 8192,
+     "precision": "bfloat16", "backend": "pallas", "microbatch": 8192,
      "chain": 8, "steps": 3, "timeout": 900},
     {"name": "dense_high_pallas", "arch": "dense", "batch": 4096,
      "precision": "high", "backend": "pallas"},

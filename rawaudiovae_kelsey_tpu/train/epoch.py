@@ -496,6 +496,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     bwriter = (L.AsyncBoundaryWriter()
                if (cfg.tpu.async_checkpoint and not multihost
                    and cfg.tpu.checkpoint_format != "orbax") else None)
+    ctx.boundary_writer = bwriter  # finish() joins on exception paths
 
     def group_end(e0: int) -> int:
         """Last epoch (inclusive) of the group starting at e0.  A group

@@ -54,6 +54,10 @@ class TrainContext:
     best_loss: float = float("inf")
     start_step: int = 0
     start_meta: dict = field(default_factory=dict)
+    # the resident trainers park their AsyncBoundaryWriter here so finish()
+    # can join an in-flight boundary even on exception paths (a daemon
+    # worker would otherwise be killed mid-write at process exit)
+    boundary_writer: Optional["AsyncBoundaryWriter"] = None
 
     def close(self) -> None:
         self.writer.close()
@@ -445,6 +449,15 @@ def save_last(ctx: TrainContext, host_params=None) -> Path:
 
 
 def finish(ctx: TrainContext) -> None:
+    if ctx.boundary_writer is not None:
+        # exception-path safety net: the trainers flush on every normal
+        # path, so an error here means the run is already failing — report
+        # the secondary failure without masking the primary one
+        try:
+            ctx.boundary_writer.flush()
+        except Exception as e:
+            print(f"WARNING: checkpoint-boundary I/O failed during "
+                  f"shutdown: {e!r}")
     ckpt.wait_for_orbax()  # never exit with an async save in flight
     ctx.cfg.stamp_end()
     ctx.workspace.snapshot_config(ctx.cfg)

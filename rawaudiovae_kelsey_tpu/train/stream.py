@@ -616,6 +616,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     bwriter = (L.AsyncBoundaryWriter()
                if (cfg.tpu.async_checkpoint and not mh
                    and cfg.tpu.checkpoint_format != "orbax") else None)
+    ctx.boundary_writer = bwriter  # finish() joins on exception paths
     snap_fn = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))
 
     ctx.timer.start()
