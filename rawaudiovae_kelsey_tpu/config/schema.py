@@ -102,6 +102,10 @@ class TrainingConfig:
     # Resume from the latest checkpoint in the workspace (reference wrote
     # checkpoints but never loaded them — SURVEY.md §5.3; new capability).
     resume: bool = False
+    # Keep only the newest N periodic checkpoints (0 = keep all, the
+    # reference behavior — its long runs accumulated every ckpt_NNNNN.pt).
+    # best/last model artifacts are never pruned.  See DIVERGENCES.md.
+    keep_checkpoints: int = 0
     best_epoch: str = ""                # written back (train.py:246)
 
 

@@ -151,6 +151,43 @@ def latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
     return best[1]
 
 
+def prune_checkpoints(ckpt_dir: Path, keep: int) -> list:
+    """Delete all but the newest ``keep`` periodic checkpoints (by label) —
+    `[training] keep_checkpoints`.  npz files (with their json sidecars) and
+    COMMITTED orbax dirs both count toward the same budget; in-flight orbax
+    tmp dirs never match the pattern and are never touched.  best/last
+    model artifacts live elsewhere and are unaffected.  ``keep <= 0`` keeps
+    everything (the reference behavior).  Call from one process only (the
+    driver gates on process 0).  Returns the removed paths."""
+    if keep <= 0:
+        return []
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.is_dir():
+        return []
+    found = []
+    for p in ckpt_dir.iterdir():
+        m = _CKPT_RE.search(p.name)
+        if m is None and p.is_dir():
+            m = _ORBAX_RE.match(p.name)
+        if m:
+            found.append((int(m.group(1)), p))
+    found.sort()
+    removed = []
+    import shutil
+
+    for _, p in found[:-keep] if len(found) > keep else []:
+        try:
+            if p.is_dir():
+                shutil.rmtree(p)
+            else:
+                p.unlink()
+                p.with_suffix(".json").unlink(missing_ok=True)
+            removed.append(p)
+        except OSError:
+            pass  # retention is best-effort; never fail a run over cleanup
+    return removed
+
+
 def save_params(path: Path, params: Any) -> Path:
     """Params-only snapshot (best_model / last_model analog).  Atomic like
     :func:`save_checkpoint`: best/last are overwritten mid-run while eval/

@@ -401,15 +401,24 @@ def save_periodic_checkpoint(ctx: TrainContext, extra: dict,
         # background threads finish the write (and the multihost commit).
         # finish()/restore/latest_checkpoint wait, so nothing exits or
         # resumes past an in-flight save.
-        return ckpt.save_checkpoint_orbax(
+        path = ckpt.save_checkpoint_orbax(
             ctx.workspace.checkpoint_dir, ctx.state, extra, label=label,
             wait=not ctx.cfg.tpu.async_checkpoint,
         )
-    return ckpt.save_checkpoint(
-        ctx.workspace.checkpoint_dir,
-        ctx.state if host_state is None else host_state,
-        extra, label=label,
-    )
+    else:
+        path = ckpt.save_checkpoint(
+            ctx.workspace.checkpoint_dir,
+            ctx.state if host_state is None else host_state,
+            extra, label=label,
+        )
+    # retention ([training] keep_checkpoints): prune AFTER the new save so
+    # a failed write can't leave fewer than `keep` on disk.  One process
+    # only (concurrent rmtree races).  An orbax save still in flight isn't
+    # committed yet — it joins the budget at the next boundary's prune.
+    keep = ctx.cfg.training.keep_checkpoints
+    if keep > 0 and jax.process_index() == 0:
+        ckpt.prune_checkpoints(ctx.workspace.checkpoint_dir, keep)
+    return path
 
 
 def maybe_save_best(ctx: TrainContext, train_loss: float, step_label: int,

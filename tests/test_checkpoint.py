@@ -291,3 +291,31 @@ def test_orbax_async_save_commits_on_wait(cfg, tmp_path):
     r2, _ = restore_checkpoint(p2, template)
     assert float(np.abs(np.asarray(
         jax.device_get(r2.params["fc1"]["w"]))).max()) == 0.0
+
+
+def test_prune_checkpoints_retention(cfg, tmp_path):
+    """[training] keep_checkpoints: oldest periodic checkpoints (npz AND
+    committed orbax dirs, one budget) are removed with their sidecars;
+    in-flight orbax tmp dirs and non-checkpoint files are untouched."""
+    from rawaudiovae_kelsey_tpu.train.checkpoint import prune_checkpoints
+
+    model, opt, state = _mk(cfg)
+    for lab in (1, 2, 3):
+        save_checkpoint(tmp_path, state, {"epoch": lab}, label=lab)
+    orbax_dir = tmp_path / "orbax_00004"
+    orbax_dir.mkdir()
+    (orbax_dir / "x").write_text("committed")
+    tmp_dir = tmp_path / "orbax_00000.orbax-checkpoint-tmp-99"
+    tmp_dir.mkdir()
+    keepme = tmp_path / "notes.txt"
+    keepme.write_text("hi")
+
+    assert prune_checkpoints(tmp_path, 0) == []  # 0 = keep all
+    removed = prune_checkpoints(tmp_path, 2)
+    names = sorted(p.name for p in removed)
+    assert names == ["ckpt_00001.npz", "ckpt_00002.npz"]
+    assert not (tmp_path / "ckpt_00001.json").exists()  # sidecar gone too
+    assert (tmp_path / "ckpt_00003.npz").exists()
+    assert (tmp_path / "ckpt_00003.json").exists()
+    assert orbax_dir.exists() and tmp_dir.exists() and keepme.exists()
+

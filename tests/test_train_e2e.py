@@ -615,3 +615,35 @@ def test_epoch_trainer_orbax_async_and_resume(scratch_dataset):
     cfg2.extra.description = "orbax_e2e"
     ctx2 = train(cfg2, verbose=False)
     assert int(jax.device_get(ctx2.state.step)) > end_step
+
+
+def test_keep_checkpoints_e2e(scratch_dataset):
+    """[training] keep_checkpoints=1 through the full epoch trainer: only
+    the newest periodic checkpoint survives, best/last are untouched, and
+    a resume still works from the survivor."""
+    import jax
+
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.training.epochs = 5
+    cfg.training.checkpoint_interval = 2
+    cfg.training.keep_checkpoints = 1
+    cfg.extra.description = "keep1"
+    ctx = train(cfg, verbose=False)
+    names = sorted(p.name for p in ctx.workspace.checkpoint_dir.iterdir())
+    assert names == ["ckpt_00005.json", "ckpt_00005.npz"]
+    assert (ctx.workspace.model_dir / "best_model.npz").exists()
+    assert (ctx.workspace.model_dir / "last_model.npz").exists()
+    end_step = int(jax.device_get(ctx.state.step))
+
+    cfg2 = small_cfg(scratch_dataset)
+    cfg2.tpu.device_resident = "always"
+    cfg2.training.epochs = 7
+    cfg2.training.checkpoint_interval = 2
+    cfg2.training.keep_checkpoints = 1
+    cfg2.training.resume = True
+    cfg2.extra.description = "keep1"
+    ctx2 = train(cfg2, verbose=False)
+    assert int(jax.device_get(ctx2.state.step)) > end_step
