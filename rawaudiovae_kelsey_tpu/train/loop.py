@@ -418,6 +418,13 @@ def save_periodic_checkpoint(ctx: TrainContext, extra: dict,
     keep = ctx.cfg.training.keep_checkpoints
     if keep > 0 and jax.process_index() == 0:
         ckpt.prune_checkpoints(ctx.workspace.checkpoint_dir, keep)
+    # a checkpoint boundary is the natural TB durability point: push the
+    # buffered event records to disk so live TensorBoard keeps up (the
+    # resident loops only touch the writer in drained bursts); getattr —
+    # unit tests drive this with a bare namespace ctx
+    writer = getattr(ctx, "writer", None)
+    if writer is not None:
+        writer.flush()
     return path
 
 
