@@ -200,6 +200,11 @@ class EventWriter:
     def _write_record(self, payload: bytes) -> None:
         header = struct.pack("<Q", len(payload))
         with self._lock:
+            if self._fh.closed:
+                # a straggling boundary-worker write after close() on an
+                # exception path: drop it rather than raise over a run
+                # that is already unwinding
+                return
             self._fh.write(header)
             self._fh.write(struct.pack("<I", _masked_crc(header)))
             self._fh.write(payload)
@@ -239,11 +244,16 @@ class EventWriter:
 
     def flush(self) -> None:
         with self._lock:
-            self._fh.flush()
+            if not self._fh.closed:
+                self._fh.flush()
 
     def close(self) -> None:
-        self.flush()
-        self._fh.close()
+        # flush+close under ONE lock hold (the lock is non-reentrant, and a
+        # concurrent worker write must not land between them)
+        with self._lock:
+            if not self._fh.closed:
+                self._fh.flush()
+                self._fh.close()
 
     def __enter__(self):
         return self

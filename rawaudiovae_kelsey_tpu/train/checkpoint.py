@@ -132,23 +132,30 @@ def restore_checkpoint(path: Path, template: TrainState
     return state, _read_meta(path.with_suffix(".json"))
 
 
-def latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
-    """Newest checkpoint in a dir — npz files and orbax dirs both count."""
-    if _ASYNC_CKPTR is not None:
-        wait_for_orbax()  # same-process scan must see in-flight saves
+def _scan_checkpoints(ckpt_dir: Path) -> list:
+    """All periodic checkpoints in a dir as sorted (label, path) — npz
+    files and COMMITTED orbax dirs both count; orbax tmp dirs never match
+    the anchored pattern."""
     ckpt_dir = Path(ckpt_dir)
     if not ckpt_dir.is_dir():
-        return None
-    best: Tuple[int, Optional[Path]] = (-1, None)
+        return []
+    found = []
     for p in ckpt_dir.iterdir():
         m = _CKPT_RE.search(p.name)
         if m is None and p.is_dir():
             m = _ORBAX_RE.match(p.name)
         if m:
-            step = int(m.group(1))
-            if step > best[0]:
-                best = (step, p)
-    return best[1]
+            found.append((int(m.group(1)), p))
+    found.sort()
+    return found
+
+
+def latest_checkpoint(ckpt_dir: Path) -> Optional[Path]:
+    """Newest checkpoint in a dir — npz files and orbax dirs both count."""
+    if _ASYNC_CKPTR is not None:
+        wait_for_orbax()  # same-process scan must see in-flight saves
+    found = _scan_checkpoints(ckpt_dir)
+    return found[-1][1] if found else None
 
 
 def prune_checkpoints(ckpt_dir: Path, keep: int) -> list:
@@ -161,17 +168,7 @@ def prune_checkpoints(ckpt_dir: Path, keep: int) -> list:
     driver gates on process 0).  Returns the removed paths."""
     if keep <= 0:
         return []
-    ckpt_dir = Path(ckpt_dir)
-    if not ckpt_dir.is_dir():
-        return []
-    found = []
-    for p in ckpt_dir.iterdir():
-        m = _CKPT_RE.search(p.name)
-        if m is None and p.is_dir():
-            m = _ORBAX_RE.match(p.name)
-        if m:
-            found.append((int(m.group(1)), p))
-    found.sort()
+    found = _scan_checkpoints(ckpt_dir)
     removed = []
     import shutil
 
@@ -243,19 +240,34 @@ def _orbax_checkpointer():
     return _ASYNC_CKPTR
 
 
+def _drain_committed_meta(final: bool = False) -> None:
+    """Write the deferred meta sidecars of every save that has COMMITTED
+    (orbax renames its tmp dir into place at commit, so ``path.exists()``
+    marks it).  With ``final=True`` (post-``wait_until_finished``, nothing
+    can still be in flight) a missing dir means retention pruned the
+    checkpoint — its meta is dropped, never written into a deleted path."""
+    global _PENDING_META
+    still = []
+    for path, extra, step in _PENDING_META:
+        if path.exists():
+            try:
+                _write_meta(path / "meta.json", extra, step)
+            except OSError:
+                pass  # pruned by retention between the check and the write
+        elif not final:
+            still.append((path, extra, step))  # still in flight — keep
+    _PENDING_META = still
+
+
 def wait_for_orbax() -> None:
     """Block until every in-flight orbax save has committed, then write the
-    deferred meta sidecars (they may only land inside a FINALIZED checkpoint
-    dir — orbax renames the tmp dir into place at commit).  Safe to call any
-    time; the trainers call it before interrupt/final saves and in
-    ``loop.finish`` so a run never exits with a write in flight."""
-    global _PENDING_META
+    deferred meta sidecars.  Safe to call any time; the trainers call it
+    before interrupt/final saves and in ``loop.finish`` so a run never
+    exits with a write in flight."""
     if _ASYNC_CKPTR is None:
         return
     _ASYNC_CKPTR.wait_until_finished()
-    pend, _PENDING_META = _PENDING_META, []
-    for path, extra, step in pend:
-        _write_meta(path / "meta.json", extra, step)
+    _drain_committed_meta(final=True)
 
 
 def save_checkpoint_orbax(ckpt_dir: Path, state: TrainState,
@@ -279,6 +291,12 @@ def save_checkpoint_orbax(ckpt_dir: Path, state: TrainState,
     _PENDING_META.append((path, extra, step))
     if wait:
         wait_for_orbax()
+    else:
+        # opportunistic drain: earlier saves that committed meanwhile get
+        # their sidecars NOW, so the meta lag is bounded at ~one boundary
+        # (a crash loses only the truly pending save's sidecar, as
+        # documented) instead of accumulating for the whole run
+        _drain_committed_meta()
     return path
 
 

@@ -309,14 +309,13 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
                 L.reconstruct_test_set(ctx, epoch)
             # ONE state fetch shared by the best gate and the checkpoint
             # writer (each used to pull its own copy through the host link)
-            host = L.fetch_host_state(ctx.state)
+            host, host_p = L.boundary_host_state(ctx)
             # best gate FIRST so the checkpoint meta records this
             # boundary's gate (resume would otherwise restore a one-
             # interval-stale best_loss)
             L.maybe_save_best(ctx, train_loss, epoch,
                               cfg.training.save_best_model_after,
-                              host_params=None if host is None
-                              else host.params)
+                              host_params=host_p)
             L.save_periodic_checkpoint(ctx, {"epoch": epoch}, label=epoch,
                                        host_state=host)
 
@@ -325,8 +324,7 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     # post-loop finalization (train.py:254-307); one state fetch for the tail
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")
-    host = L.fetch_host_state(ctx.state)
-    host_p = None if host is None else host.params
+    host, host_p = L.boundary_host_state(ctx)
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, epochs)
     if np.isfinite(train_loss):
@@ -605,9 +603,9 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # seconds per boundary through the host link).  The identical
         # (hist_fires or ckpt_fires) predicate on every process keeps any
         # collective fallback paths aligned.
-        host = (L.fetch_host_state(ctx.state)
-                if (hist_fires or ckpt_fires) and not use_async else None)
-        host_p = None if host is None else host.params
+        host, host_p = (L.boundary_host_state(ctx)
+                        if (hist_fires or ckpt_fires) and not use_async
+                        else (None, None))
         try:
             if hist_fires and not use_async:
                 L.log_param_histograms(ctx, epoch, params=host_p)
@@ -715,8 +713,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")
-    host = L.fetch_host_state(ctx.state)  # one fetch for the whole tail
-    host_p = None if host is None else host.params
+    host, host_p = L.boundary_host_state(ctx)  # one fetch, whole tail
     if not hist_every and epochs > start_epoch and not (
             interval and final_epoch % interval == 0 and final_epoch != 0):
         # (guard: the checkpoint branch already logged this epoch)

@@ -316,6 +316,18 @@ def fetch_host_state(state):
     return jax.tree_util.tree_unflatten(treedef, jax.device_get(leaves))
 
 
+def boundary_host_state(ctx: TrainContext):
+    """``(host_state, host_params)`` for a checkpoint boundary's writers:
+    the full state tree for the npz writer; PARAMS-ONLY under orbax, whose
+    writer takes the live jax.Arrays itself — fetching the Adam moments
+    through the host link there would be pure waste (the params still
+    serve the histogram logger and the best gate)."""
+    if ctx.cfg.tpu.checkpoint_format == "orbax":
+        return None, fetch_host_state(ctx.state.params)
+    host = fetch_host_state(ctx.state)
+    return host, None if host is None else host.params
+
+
 class AsyncBoundaryWriter:
     """Checkpoint-boundary host I/O on a background thread.
 
@@ -475,6 +487,11 @@ def finish(ctx: TrainContext) -> None:
             print(f"WARNING: checkpoint-boundary I/O failed during "
                   f"shutdown: {e!r}")
     ckpt.wait_for_orbax()  # never exit with an async save in flight
+    # re-apply retention now that every async save has committed (an orbax
+    # save in flight at the last boundary's prune wasn't countable yet)
+    keep = ctx.cfg.training.keep_checkpoints
+    if keep > 0 and jax.process_index() == 0:
+        ckpt.prune_checkpoints(ctx.workspace.checkpoint_dir, keep)
     ctx.cfg.stamp_end()
     ctx.workspace.snapshot_config(ctx.cfg)
     ctx.close()

@@ -280,10 +280,9 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
             interval_mean = window_loss / max(window_count, 1)
             # ONE state fetch shared by the best gate and the checkpoint
             # writer (each used to pull its own copy through the host link)
-            host = L.fetch_host_state(ctx.state)
+            host, host_p = L.boundary_host_state(ctx)
             L.maybe_save_best(ctx, interval_mean, batch_id, after=0,
-                              host_params=None if host is None
-                              else host.params)
+                              host_params=host_p)
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
                                        label=batch_id, host_state=host)
             window_loss, window_count = 0.0, 0
@@ -294,8 +293,7 @@ def _run(ctx: L.TrainContext, cfg: Config, verbose: bool,
     drain()
     # final reconstruction + saves (train_iterable.py:271-319)
     print(f"Last Checkpoint - Batch {total_num_batches}")
-    host = L.fetch_host_state(ctx.state)  # one fetch for the whole tail
-    host_p = None if host is None else host.params
+    host, host_p = L.boundary_host_state(ctx)  # one fetch, whole tail
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, total_num_batches)
     if window_count:  # an empty window (final batch == a checkpoint
@@ -639,12 +637,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             print(f"Batch {batch_id}/{total_num_batches}")
         crossed_hist = bool(hist_every
                             and batch_id // hist_every != hist_marker)
+        at_ckpt = bool(interval and batch_id % interval == 0
+                       and batch_id != total_num_batches)
         if crossed_hist:
             # cadence by crossing multiples (batch_id advances by chunk)
             hist_marker = batch_id // hist_every
-            L.log_param_histograms(ctx, batch_id)
-        at_ckpt = bool(interval and batch_id % interval == 0
-                       and batch_id != total_num_batches)
+            if not at_ckpt:
+                L.log_param_histograms(ctx, batch_id)
+            # else: logged inside the checkpoint block, sharing its ONE
+            # state fetch instead of pulling the params twice
         stop_now = (bool(stop) if not mh
                     else ((crossed_hist or at_ckpt or ci % 8 == 7)
                           and _sync_stop(stop, True)))
@@ -676,13 +677,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 boundary_state = snap_fn(ctx.state)
                 L.prefetch_host(boundary_state)
 
-                def boundary_io(bs=boundary_state, bid=batch_id, wl=wmean):
+                def boundary_io(bs=boundary_state, bid=batch_id,
+                                wl=wmean, hist=crossed_hist):
                     h = L.fetch_host_state(bs)
+                    hp = None if h is None else h.params
+                    if hist:  # coincident crossing shares this fetch
+                        L.log_param_histograms(ctx, bid, params=hp)
                     # best gate first: the meta must record this
                     # boundary's gate
-                    L.maybe_save_best(ctx, wl, bid, after=0,
-                                      host_params=None if h is None
-                                      else h.params)
+                    L.maybe_save_best(ctx, wl, bid, after=0, host_params=hp)
                     L.save_periodic_checkpoint(ctx, {"batch_id": bid},
                                                label=bid, host_state=h)
 
@@ -691,8 +694,9 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 # ONE state fetch shared by the best gate and the
                 # checkpoint writer (each used to pull its own copy
                 # through the host link)
-                host = L.fetch_host_state(ctx.state)
-                host_p = None if host is None else host.params
+                host, host_p = L.boundary_host_state(ctx)
+                if crossed_hist:  # share the fetch (see crossing below)
+                    L.log_param_histograms(ctx, batch_id, params=host_p)
                 # best gate first: the meta must record this boundary's gate
                 L.maybe_save_best(ctx, wmean, batch_id, after=0,
                                   host_params=host_p)
@@ -705,8 +709,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     if bwriter is not None:
         bwriter.flush()  # settle the last boundary before the tail reads
     print(f"Last Checkpoint - Batch {total_num_batches}")
-    host = L.fetch_host_state(ctx.state)  # one fetch for the whole tail
-    host_p = None if host is None else host.params
+    host, host_p = L.boundary_host_state(ctx)  # one fetch, whole tail
     if cfg.dataset.generate_test:
         L.reconstruct_test_set(ctx, total_num_batches)
     if window_count:

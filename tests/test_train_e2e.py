@@ -647,3 +647,31 @@ def test_keep_checkpoints_e2e(scratch_dataset):
     cfg2.extra.description = "keep1"
     ctx2 = train(cfg2, verbose=False)
     assert int(jax.device_get(ctx2.state.step)) > end_step
+
+
+def test_orbax_async_with_retention(scratch_dataset):
+    """Review regression (confirmed crash): orbax + async_checkpoint +
+    keep_checkpoints — retention prunes a committed orbax dir whose meta
+    sidecar is still pending; the deferred-meta drain must drop it instead
+    of writing into the deleted path (FileNotFoundError out of finish())."""
+    pytest.importorskip("orbax.checkpoint")
+
+    from rawaudiovae_kelsey_tpu.train.epoch import train
+
+    cfg = small_cfg(scratch_dataset)
+    cfg.tpu.device_resident = "always"
+    cfg.tpu.checkpoint_format = "orbax"
+    cfg.training.epochs = 7
+    cfg.training.checkpoint_interval = 2
+    cfg.training.keep_checkpoints = 1
+    cfg.extra.description = "orbax_keep"
+    ctx = train(cfg, verbose=False)  # must not raise at finish()
+    names = sorted(p.name for p in ctx.workspace.checkpoint_dir.iterdir()
+                   if p.is_dir())
+    assert names == ["orbax_00007"]
+    # the survivor has its sidecar (drained before or at the final wait)
+    import json
+    meta = json.loads(
+        (ctx.workspace.checkpoint_dir / "orbax_00007" / "meta.json")
+        .read_text())
+    assert meta["epoch"] == 7
