@@ -459,3 +459,94 @@ def test_two_process_resident_epochs(tmp_path):
     assert all("STITCH_OK" in o for o in outs), outs
     assert all("resident mesh=True procs=2" in o for o in outs), outs
     assert all("EPOCH_LOSSES_REPLICATED" in o for o in outs), outs
+
+
+ORBAX_ASYNC_WORKER = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+datapath = sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=2,
+    process_id=proc_id,
+)
+
+import json
+import numpy as np
+
+from rawaudiovae_kelsey_tpu.config import Config
+from rawaudiovae_kelsey_tpu.train.epoch import train
+
+cfg = Config()
+cfg.dataset.datapath = datapath
+cfg.dataset.generate_test = False
+cfg.audio.segment_length = 256
+cfg.audio.hop_length = 64
+cfg.vae.n_units = 64
+cfg.vae.latent_dim = 16
+cfg.training.batch_size = 16
+cfg.training.epochs = 5
+cfg.training.checkpoint_interval = 2
+cfg.training.keep_checkpoints = 2
+cfg.extra.description = "mh_orbax"
+cfg.tpu.device_resident = "never"
+cfg.tpu.checkpoint_format = "orbax"   # async saves via the persistent ckptr
+ctx = train(cfg, verbose=False)
+names = sorted(p.name for p in ctx.workspace.checkpoint_dir.iterdir()
+               if p.is_dir())
+assert not [n for n in names if "tmp" in n], names  # everything committed
+if jax.process_index() == 0:
+    # retention runs on the coordinator at finish; a peer may scan the
+    # shared dir before the coordinator's prune lands, so only proc 0
+    # asserts the final census
+    assert names == ["orbax_00004", "orbax_00005"], names
+    meta = json.loads(
+        (ctx.workspace.checkpoint_dir / "orbax_00005" / "meta.json")
+        .read_text())
+    assert meta["epoch"] == 5, meta
+print(f"proc{proc_id} orbax_ok procs={jax.process_count()}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_orbax_async_checkpoints(tmp_path):
+    """Async orbax across 2 processes: the persistent AsyncCheckpointer's
+    cross-process commit protocol runs behind the training loop, finish()
+    waits for the in-flight save on both hosts, deferred meta sidecars land
+    in the committed dirs, and retention prunes after the final wait."""
+    import socket
+
+    import numpy as np
+
+    from rawaudiovae_kelsey_tpu.io import write_wav
+
+    pytest.importorskip("orbax.checkpoint")
+    (tmp_path / "audio").mkdir()
+    rng = np.random.default_rng(1)
+    for i, n in enumerate([9000, 12000, 7000, 15000]):
+        write_wav(tmp_path / "audio" / f"t{i}.wav",
+                  rng.uniform(-0.5, 0.5, n).astype(np.float32), 44100)
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(ORBAX_ASYNC_WORKER)
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        port = str(sk.getsockname()[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), port, str(tmp_path)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(outs)
+    assert all("orbax_ok procs=2" in o for o in outs), outs
