@@ -24,6 +24,7 @@ Interop with reference ``torch.save`` checkpoints lives in ``compat/``.
 from __future__ import annotations
 
 import json
+import os
 import re
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
@@ -46,7 +47,7 @@ def _write_meta(meta_path: Path, extra: Optional[Dict[str, Any]],
         return
     meta = dict(extra or {})
     meta["step"] = step
-    tmp = meta_path.with_suffix(".json.tmp")
+    tmp = _unique_tmp(meta_path)
     tmp.write_text(json.dumps(meta))
     tmp.rename(meta_path)
 
@@ -58,6 +59,19 @@ def _read_meta(meta_path: Path) -> Dict[str, Any]:
         return json.loads(meta_path.read_text())
     except (OSError, json.JSONDecodeError):
         return {}
+
+
+def _unique_tmp(path: Path) -> Path:
+    """Writer-private tmp name for the atomic write-then-rename: a FIXED
+    ``.tmp`` suffix let two writers (e.g. an async boundary worker and the
+    run tail racing in a bug) clobber each other's half-written file and
+    crash the rename; with per-writer names the worst outcome is a benign
+    last-rename-wins.  Stale tmps from crashes are ignored by every scan
+    (no pattern matches them)."""
+    import threading
+
+    return path.with_name(
+        f"{path.name}.tmp{os.getpid()}-{threading.get_ident()}")
 
 
 def _flatten_with_meta(tree: Any) -> Tuple[Dict[str, np.ndarray], Any]:
@@ -86,7 +100,7 @@ def save_checkpoint(ckpt_dir: Path, state: TrainState,
         # multihost state use the orbax format instead
         return path
     arrays, _ = _flatten_with_meta(state)
-    tmp = path.with_suffix(".npz.tmp")
+    tmp = _unique_tmp(path)
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
     tmp.rename(path)  # atomic so a crash never leaves a torn checkpoint
@@ -193,7 +207,7 @@ def save_params(path: Path, params: Any) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays, _ = _flatten_with_meta(params)
-    tmp = path.with_name(path.name + ".tmp")
+    tmp = _unique_tmp(path)
     with open(tmp, "wb") as fh:
         np.savez(fh, **arrays)
     tmp.rename(path)

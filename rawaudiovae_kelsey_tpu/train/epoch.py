@@ -596,6 +596,13 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # thread entirely: the worker fetches the snapshot and runs the
         # histogram/best/periodic writes while the loop trains ahead.
         use_async = bwriter is not None and snap is not None
+        if bwriter is not None and not use_async:
+            # synchronous fallback (last-epoch boundary, profiling): the
+            # PREVIOUS boundary's worker may still be writing the very
+            # artifacts (best gate, checkpoints) this thread is about to
+            # write — settle it first or the two race on the same tmp
+            # paths and the best gate runs out of order
+            bwriter.flush()
         # ONE device→host fetch of the boundary state (sync path only — the
         # async path fetches on the worker), shared by every action below —
         # histograms, the best gate, and the periodic checkpoint each pulled
