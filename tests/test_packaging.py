@@ -1,0 +1,52 @@
+"""Packaging metadata stays consistent with the library.
+
+The reference ships no packaging at all (16 flat files); a standalone
+framework must be installable, so pyproject.toml + the console script are
+part of the surface.  A real `pip install --no-deps --target` of the repo was
+exercised when this landed; these tests pin the cheap invariants so drift
+(version skew, a renamed entry point, a dropped hard dep) fails fast.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load():
+    with open(REPO / "pyproject.toml", "rb") as f:
+        return tomllib.load(f)
+
+
+def test_pyproject_parses_and_version_matches():
+    meta = _load()
+    import rawaudiovae_kelsey_tpu as pkg
+
+    assert meta["project"]["version"] == pkg.__version__
+    assert meta["project"]["name"] == "rawaudiovae-kelsey-tpu"
+
+
+def test_console_script_target_resolves():
+    meta = _load()
+    target = meta["project"]["scripts"]["rawaudiovae-tpu"]
+    mod_name, func_name = target.split(":")
+    import importlib
+
+    mod = importlib.import_module(mod_name)
+    assert callable(getattr(mod, func_name))
+
+
+def test_hard_deps_are_the_imported_ones():
+    # jax/numpy/optax are the only top-level third-party imports in the
+    # package (orbax is lazy, torch lives in compat/ + tests); the dependency
+    # list must name exactly those three.
+    meta = _load()
+    names = {d.split(">=")[0].split("==")[0].strip()
+             for d in meta["project"]["dependencies"]}
+    assert names == {"jax", "numpy", "optax"}
+
+
+def test_py_typed_marker_ships():
+    assert (REPO / "rawaudiovae_kelsey_tpu" / "py.typed").exists()
