@@ -21,6 +21,12 @@ from __future__ import annotations
 import sys
 
 
+def _example_script(cmd: str):
+    from pathlib import Path
+
+    return Path(__file__).resolve().parents[1] / "examples" / f"{cmd}.py"
+
+
 def main() -> None:
     argv = sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
@@ -107,10 +113,16 @@ def main() -> None:
         print(f"wrote {c}\nwrote {d}")
     elif cmd in ("tutorial", "export"):
         import runpy
-        from pathlib import Path
 
-        script = (Path(__file__).resolve().parents[1] / "examples"
-                  / f"{cmd}.py")
+        script = _example_script(cmd)
+        if not script.exists():
+            # Installed as a wheel: examples/ lives in the source tree /
+            # sdist, not in site-packages.
+            print(f"{cmd}: {script} not found — the example scripts ship "
+                  "in the repository (and sdist), not in installed wheels; "
+                  f"run from a source checkout or invoke examples/{cmd}.py "
+                  "directly.", file=sys.stderr)
+            sys.exit(2)
         sys.argv = [str(script), *rest]
         runpy.run_path(str(script), run_name="__main__")
     elif cmd == "validate":

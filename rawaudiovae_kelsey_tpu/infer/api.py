@@ -90,10 +90,21 @@ def encode_trajectory(model: ModelDef, params, audio_or_frames: np.ndarray,
                       batch_size: int = 256,
                       hop: Optional[int] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """``raw_to_z_dist``: (mu, logvar) trajectories, each (N, latent)."""
+    """``raw_to_z_dist``: (mu, logvar) trajectories, each (N, latent).
+
+    Accepts a 1-D waveform (framed at ``hop``) or pre-framed 2-D
+    ``(N, segment_length)`` rows.  A ``(samples, channels)`` matrix straight
+    from :func:`io.read_wav` is neither — select a channel first.
+    """
     frames = audio_or_frames
     if frames.ndim == 1:
         frames = frame_audio(frames, model.segment_length, hop)
+    elif frames.ndim != 2 or frames.shape[-1] != model.segment_length:
+        raise ValueError(
+            f"encode_trajectory: expected a 1-D waveform or (N, "
+            f"{model.segment_length}) frames, got shape {frames.shape}. "
+            "io.read_wav returns (samples, channels) — pass wave[:, 0] "
+            "(or a mono mixdown) for multi-channel audio.")
     encode = functools.partial(_jitted_encode(model), params)
     mu, logvar = _run_batched(encode, frames, batch_size)
     return mu, logvar

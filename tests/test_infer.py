@@ -62,6 +62,18 @@ def test_encode_trajectory_shapes(model_and_params):
     np.testing.assert_allclose(mu, mu2, atol=1e-6)
 
 
+def test_encode_trajectory_rejects_channel_matrix(model_and_params):
+    # read_wav returns (samples, channels); passing that straight through
+    # used to die inside the encoder's matmul with an opaque dot_general
+    # shape error.  It must be a clear ValueError naming the fix.
+    model, params = model_and_params
+    wave_2ch = _audio(SEG * 4).reshape(-1, 2)
+    with pytest.raises(ValueError, match=r"wave\[:, 0\]"):
+        encode_trajectory(model, params, wave_2ch)
+    with pytest.raises(ValueError, match="expected a 1-D waveform"):
+        encode_trajectory(model, params, _audio(SEG * 3).reshape(3, 1, SEG))
+
+
 def test_decode_roundtrip_shapes(model_and_params):
     model, params = model_and_params
     z = np.random.default_rng(1).standard_normal((7, LATENT)).astype(np.float32)

@@ -50,3 +50,29 @@ def test_hard_deps_are_the_imported_ones():
 
 def test_py_typed_marker_ships():
     assert (REPO / "rawaudiovae_kelsey_tpu" / "py.typed").exists()
+
+
+def test_cli_example_commands_fail_cleanly_when_examples_absent(
+        monkeypatch, capsys):
+    # Installed wheels don't ship examples/: the tutorial/export commands
+    # must exit 2 with a pointer, not crash in runpy.
+    import sys
+
+    import pytest
+
+    from rawaudiovae_kelsey_tpu import __main__ as cli
+
+    monkeypatch.setattr(cli, "_example_script",
+                        lambda cmd: Path("/nonexistent/examples/t.py"))
+    monkeypatch.setattr(sys, "argv", ["rawaudiovae-tpu", "tutorial"])
+    with pytest.raises(SystemExit) as e:
+        cli.main()
+    assert e.value.code == 2
+    assert "source checkout" in capsys.readouterr().err
+
+
+def test_cli_example_commands_resolve_in_repo():
+    from rawaudiovae_kelsey_tpu.__main__ import _example_script
+
+    for cmd in ("tutorial", "export"):
+        assert _example_script(cmd).exists()
