@@ -9,7 +9,10 @@ exercised when this landed; these tests pin the cheap invariants so drift
 
 from __future__ import annotations
 
-import tomllib
+try:
+    import tomllib  # stdlib on 3.11+
+except ImportError:  # pragma: no cover - 3.10 fallback
+    import tomli as tomllib  # type: ignore[no-redef]
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
