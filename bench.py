@@ -354,12 +354,15 @@ def parity_check(batch_size: int, precision: str) -> float:
 def resolve_best(metric: str, precision: str, arch: str = "dense") -> str:
     # Measured winner per tier (docs/PERF.md): since the round-3 fused
     # backward (dh/dh3 in-register, dx dead-code-eliminated like XLA's
-    # autodiff), Pallas leads every DENSE tier it implements — bf16 4.65
-    # vs 4.52 M frames/s, "high" 1.744 vs 1.733 M, "highest" +11 %, and
-    # the synth/int8 decode paths exist only in Pallas.  deep/conv1d keep
-    # XLA (whole-graph scheduling wins — 0.393 vs 0.358 M deep; conv
-    # sweep).  Plain fp32 (single bf16 pass) keeps XLA — unmeasured
-    # corner with no production use.  Mirrors registry._resolve_backend.
+    # autodiff), Pallas leads the dense bf16 (4.65 vs 4.52 M frames/s)
+    # and "highest" (+11 %) tiers; "high" is a declared TIE (pallas 1.744
+    # vs xla 1.733 M same-session, xla 1.737 vs pallas 1.733 M in the
+    # round-3 driver matrix — both inside the ±1 % tunnel noise band;
+    # pallas kept for tier uniformity).  The synth/int8 decode paths
+    # exist only in Pallas.  deep/conv1d keep XLA (whole-graph scheduling
+    # wins — 0.393 vs 0.358 M deep; conv sweep).  Plain fp32 (single bf16
+    # pass) keeps XLA — unmeasured corner with no production use.
+    # Mirrors registry._resolve_backend.
     import jax
 
     platform = jax.devices()[0].platform.lower()
@@ -382,35 +385,23 @@ def winner_table(metric: str, precision: str, arch: str = "dense") -> str:
     return "xla"
 
 
-# The matrix: every BASELINE.json headline configuration.  Dense entries
-# first (they carry the driver headline), then precision tiers, variants,
-# synth.  conv1d/deep run their measured-best backend (XLA — see
-# docs/PERF.md conv/deep sections; backend=pallas routes conv to XLA
-# anyway, models/registry.py:104).
+# The matrix: every BASELINE.json headline configuration, in
+# FAMILY-PRIORITY order: the dense bf16 headline pair first (they carry
+# the driver headline), then one config per remaining family (deep,
+# conv1d, synth×2) so a tight budget still yields evidence for every
+# BASELINE.json config, and only then the dense precision-tier
+# refinements and the giant-batch run.  Round 3 ran dense tiers first and
+# starved deep/conv1d/synth — never again.  conv1d/deep default to their
+# measured-best backend (XLA — see docs/PERF.md conv/deep sections;
+# backend=pallas routes conv to XLA anyway, models/registry.py:104); a
+# deep pallas refinement at the tail keeps that verdict freshly paired.
 MATRIX = [
+    # --- headline pair ---
     {"name": "dense_bf16_pallas", "arch": "dense", "batch": 4096,
      "precision": "bfloat16", "backend": "pallas"},
     {"name": "dense_bf16_xla", "arch": "dense", "batch": 4096,
      "precision": "bfloat16", "backend": "xla"},
-    # giant batch: pallas.  An early round-3 pair read "pallas 4.11 M vs
-    # xla 4.63 M — the scan overlaps better under XLA"; re-paired on a
-    # healthy link the verdict flipped (same-session: pallas 4.83 M @
-    # 84.9% MFU vs xla 4.80 M; monolithic batch-8192 pallas 4.78 vs xla
-    # 4.65) — the 4.11 reading was degraded-day noise, and the larger
-    # µbatch tiles lift MFU above the 4096 configs for BOTH backends.
-    # chain 8: a giant step is ~28 ms of device time, so chain-4 windows
-    # left a ~15% dispatch tail (measured 4.23 M vs 4.6 M chained deeper)
-    {"name": "dense_bf16_giant_batch", "arch": "dense", "batch": 131072,
-     "precision": "bfloat16", "backend": "pallas", "microbatch": 8192,
-     "chain": 8, "steps": 3, "timeout": 900},
-    {"name": "dense_high_pallas", "arch": "dense", "batch": 4096,
-     "precision": "high", "backend": "pallas"},
-    {"name": "dense_high_xla", "arch": "dense", "batch": 4096,
-     "precision": "high", "backend": "xla"},
-    {"name": "dense_highest_pallas", "arch": "dense", "batch": 4096,
-     "precision": "highest", "backend": "pallas"},
-    {"name": "dense_highest_xla", "arch": "dense", "batch": 4096,
-     "precision": "highest", "backend": "xla"},
+    # --- one per family (BASELINE.json configs #3, #4, #5) ---
     {"name": "deep_bf16_xla", "arch": "deep", "batch": 4096,
      "precision": "bfloat16", "backend": "xla", "steps": 5},
     {"name": "conv1d_bf16_xla", "arch": "conv1d", "batch": 4096,
@@ -419,6 +410,31 @@ MATRIX = [
      "backend": "pallas", "batch": 4096},
     {"name": "synth_int8", "metric": "synth", "precision": "bfloat16",
      "backend": "pallas", "batch": 4096, "quantize": True},
+    # --- refinements: dense precision tiers ---
+    {"name": "dense_high_pallas", "arch": "dense", "batch": 4096,
+     "precision": "high", "backend": "pallas"},
+    {"name": "dense_high_xla", "arch": "dense", "batch": 4096,
+     "precision": "high", "backend": "xla"},
+    {"name": "dense_highest_pallas", "arch": "dense", "batch": 4096,
+     "precision": "highest", "backend": "pallas"},
+    {"name": "dense_highest_xla", "arch": "dense", "batch": 4096,
+     "precision": "highest", "backend": "xla"},
+    # deep pallas pairing (keeps the deep backend=xla default evidenced)
+    {"name": "deep_bf16_pallas", "arch": "deep", "batch": 4096,
+     "precision": "bfloat16", "backend": "pallas", "steps": 5},
+    # giant batch: pallas.  An early round-3 pair read "pallas 4.11 M vs
+    # xla 4.63 M — the scan overlaps better under XLA"; re-paired on a
+    # healthy link the verdict flipped (same-session: pallas 4.83 M @
+    # 84.9% MFU vs xla 4.80 M; monolithic batch-8192 pallas 4.78 vs xla
+    # 4.65) — the 4.11 reading was degraded-day noise, and the larger
+    # µbatch tiles lift MFU above the 4096 configs for BOTH backends.
+    # chain 8: a giant step is ~28 ms of device time, so chain-4 windows
+    # left a ~15% dispatch tail (measured 4.23 M vs 4.6 M chained deeper).
+    # Last on purpose: its 900 s timeout is the matrix's biggest budget
+    # hazard, and it refines a family already covered by the headline.
+    {"name": "dense_bf16_giant_batch", "arch": "dense", "batch": 131072,
+     "precision": "bfloat16", "backend": "pallas", "microbatch": 8192,
+     "chain": 8, "steps": 3, "timeout": 900},
 ]
 
 
@@ -625,6 +641,18 @@ def run_single(args) -> None:
 
 
 def main() -> None:
+    # Persistent XLA compilation cache, shared by the matrix subprocesses
+    # (they inherit the env).  Verified to work through the axon tunnel:
+    # a cold compile+run of a test graph took 85 s, the cached second run
+    # 34 s, with the serialized executable written under .jax_cache/.
+    # Round 3's matrix paid ~50 s first-compile per subprocess and ran out
+    # of budget; with this cache the driver's end-of-round run hits the
+    # executables this session already built.  jax reads the env var
+    # natively — set it before any jax import (all imports are lazy).
+    import os
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path(__file__).resolve().parent / ".jax_cache"))
     ap = argparse.ArgumentParser()
     ap.add_argument("--single", action="store_true",
                     help="one configuration instead of the default matrix")

@@ -314,7 +314,11 @@ def _parse_tensor(data: bytes) -> tuple[str, np.ndarray]:
 
 
 def _parse_attr(data: bytes) -> tuple[str, object]:
-    name, ival, fval, atype = "", None, None, 0
+    """AttributeProto: name=1, f=2, i=3, t=5 (TensorProto), type=20.
+    Tensor attrs (type TENSOR=4) are what torch's exporter uses for
+    Constant nodes — parsing them lets the evaluator run graphs produced
+    by ``torch.onnx.export``, not only our own emitter's."""
+    name, ival, fval, tval, atype = "", None, None, None, 0
     for field, _w, value in _iter_fields(data):
         if field == 1:
             name = value.decode()
@@ -322,9 +326,15 @@ def _parse_attr(data: bytes) -> tuple[str, object]:
             fval = value
         elif field == 3:
             ival = value
+        elif field == 5:
+            tval = _parse_tensor(value)[1]
         elif field == 20:
             atype = value
-    return name, (fval if atype == 1 else ival)
+    if atype == 1:
+        return name, fval
+    if atype == 4:
+        return name, tval
+    return name, ival
 
 
 class _Node:
@@ -362,7 +372,11 @@ class OnnxModel:
 
     The documented consumer for artifacts written by :func:`export_onnx`
     (this image has no onnxruntime): parses the real bytes and executes
-    MatMul/Add/Mul/Reshape/Relu/Tanh/Exp/RandomNormalLike with numpy.
+    MatMul/Add/Mul/Reshape/Relu/Tanh/Exp/RandomNormalLike with numpy —
+    plus Gemm and Constant, which ``torch.onnx.export`` emits for the same
+    model, so the decoder/evaluator is cross-validated against torch's
+    independently produced bytes (tests/test_onnx.py), not only against
+    this module's own emitter.
     """
 
     def __init__(self, data: bytes):
@@ -433,6 +447,20 @@ class OnnxModel:
                 out = np.tanh(ins[0])
             elif op == "Exp":
                 out = np.exp(ins[0])
+            elif op == "Gemm":
+                # torch exports nn.Linear as Gemm (alpha·A·B + beta·C,
+                # transB=1 for the (out, in) weight layout) — supported so
+                # the evaluator runs torch.onnx.export artifacts too
+                a, b = ins[0], ins[1]
+                if node.attrs.get("transA"):
+                    a = a.T
+                if node.attrs.get("transB"):
+                    b = b.T
+                out = float(node.attrs.get("alpha") or 1.0) * (a @ b)
+                if len(ins) > 2:
+                    out = out + float(node.attrs.get("beta") or 1.0) * ins[2]
+            elif op == "Constant":
+                out = node.attrs["value"]
             elif op == "RandomNormalLike":
                 # honor the artifact's seed attribute (export_onnx(seed=…))
                 # when the caller didn't inject an rng — otherwise two
@@ -444,5 +472,8 @@ class OnnxModel:
                 out = use.standard_normal(ins[0].shape).astype(np.float32)
             else:
                 raise NotImplementedError(f"op {op}")
-            env[node.outputs[0]] = np.asarray(out, np.float32)
+            out = np.asarray(out)
+            if out.dtype != np.int64:  # keep shape tensors integral
+                out = out.astype(np.float32)
+            env[node.outputs[0]] = out
         return {name: env[name] for name in self.outputs}

@@ -54,7 +54,11 @@ def _parse_int_list(s: str, default):
 def _resolve_backend(cfg: Config, arch: str) -> str:
     """``best`` → the measured winner per family and tier (docs/PERF.md):
     the fused Pallas tier for the dense model on a real TPU at the three
-    measured precisions (it leads bfloat16/high/highest since round 3),
+    measured precisions (bfloat16 and highest are clear wins since the
+    round-3 fused backward; "high" is a declared TIE — same-session pairs
+    read pallas 1.744 vs xla 1.733 M and the round-3 driver matrix read
+    xla 1.737 vs pallas 1.733 M, both within the ±1 % tunnel noise band,
+    so pallas is kept for tier uniformity, not on evidence of a lead),
     XLA for deep/conv1d, for plain float32 (unmeasured corner — mirrors
     bench.resolve_best), and for CPU runs (interpret-mode kernels exist
     for correctness, not speed)."""

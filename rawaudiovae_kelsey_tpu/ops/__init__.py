@@ -13,7 +13,10 @@ from rawaudiovae_kelsey_tpu.ops.pallas_mlp import (  # noqa: F401
     pallas_decode,
     pallas_encode,
 )
-from rawaudiovae_kelsey_tpu.ops.rng import pallas_reparameterize  # noqa: F401
+from rawaudiovae_kelsey_tpu.ops.rng import (  # noqa: F401
+    pallas_reparameterize,
+    sharded_pallas_reparameterize,
+)
 from rawaudiovae_kelsey_tpu.ops.quant import (  # noqa: F401
     quantize_decoder,
     quantize_weight,

@@ -115,6 +115,57 @@ def pallas_reparameterize(seed, mu, logvar, block_b: int = DEFAULT_BLOCK_B):
     return z[:n]
 
 
+def sharded_pallas_reparameterize(seed, mu, logvar, mesh, axis: str,
+                                  block_b: int = DEFAULT_BLOCK_B):
+    """Mesh-sound TPU-PRNG reparameterization (lifts the round-3
+    single-device gate).
+
+    Under GSPMD a bare ``pallas_call`` is either replicated (defeating data
+    parallelism) or partitioned with ``program_id`` restarting per shard, so
+    every shard would draw IDENTICAL eps — correlated noise that silently
+    biases training.  This wrapper enters ``shard_map`` over the mesh's
+    ``axis`` and XORs a golden-ratio spread of ``axis_index`` into the FIRST
+    seed word before the kernel runs (the kernel itself spreads the tile
+    index into the SECOND word), so:
+
+      * every (shard, tile) pair seeds a distinct hardware PRNG stream —
+        no cross-shard correlation by construction of the seed space;
+      * mesh axes OTHER than ``axis`` (e.g. a tensor-parallel ``model``
+        axis) see replicated inputs and compute identical seeds, so model-
+        parallel replicas draw the SAME eps — required for a consistent z;
+      * the sampling distribution is shard-count invariant (each shard runs
+        the same Box-Muller kernel); the concrete stream is not, which is
+        the module's documented contract (it already differs from threefry).
+
+    The global batch must divide the ``axis`` size (callers pad batches to
+    the mesh multiple already); ``shard_map`` enforces it.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    seed = jnp.asarray(seed, jnp.int32).ravel()
+    if seed.shape[0] < 2:
+        seed = jnp.concatenate([seed, jnp.zeros(2 - seed.shape[0],
+                                                jnp.int32)])
+
+    def local(seed_l, mu_l, logvar_l):
+        idx = jax.lax.axis_index(axis).astype(jnp.int32)
+        # 0x85EBCA6B (Murmur3 mix, odd) as wrap-around int32 — a DIFFERENT
+        # odd constant than the kernel's tile spread so the two folds stay
+        # independent even though (shard, tile) already keys distinct words
+        seed_l = seed_l.at[0].set(seed_l[0] ^ (idx * jnp.int32(-2048144789)))
+        return pallas_reparameterize(seed_l, mu_l, logvar_l, block_b)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,  # custom_vjp+pallas inside; replication over the
+                          # other axes is by construction (deterministic
+                          # per-shard compute)
+    )(seed, mu, logvar)
+
+
 def _reparam_fwd(seed, mu, logvar, block_b):
     z = _reparam_impl(seed, mu, logvar, block_b)
     return z, (jnp.shape(seed), mu, z)

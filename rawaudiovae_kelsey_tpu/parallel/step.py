@@ -52,24 +52,34 @@ def _make_loss_fn(model: ModelDef, cfg: Config, weighted: bool,
     reduction = cfg.training.loss_reduction.split()[0]
     bf16 = cfg.tpu.precision == "bfloat16"
     tpu_prng = cfg.tpu.rng == "tpu_prng"
-    if tpu_prng and mesh is not None and mesh.devices.size > 1:
-        # the pallas PRNG seeds per grid position; GSPMD either replicates
-        # the custom call (defeating data parallelism) or restarts
-        # program_id per shard so different rows draw IDENTICAL eps —
-        # correlated noise that silently biases training.  Single-device
-        # only; under a mesh the threefry path keeps the contract.
-        print("[tpu] rng=tpu_prng is single-device only — using threefry "
-              "under the mesh")
-        tpu_prng = False
+    # Under a mesh the kernel runs inside shard_map with a per-shard seed
+    # fold (ops/rng.py:sharded_pallas_reparameterize) — the round-3
+    # single-device gate is lifted.  shard_map needs the batch to divide
+    # the data axis; every sharded caller already pads to the mesh
+    # multiple, so a non-divisible shape (checked per-trace below) falls
+    # back to threefry loudly rather than failing inside shard_map.
+    shard_rng = tpu_prng and mesh is not None and mesh.devices.size > 1
+    n_data = int(mesh.shape[DATA_AXIS]) if shard_rng else 1
 
     def sample(key, mu, logvar):
         if tpu_prng:
-            from rawaudiovae_kelsey_tpu.ops.rng import pallas_reparameterize
+            from rawaudiovae_kelsey_tpu.ops.rng import (
+                pallas_reparameterize,
+                sharded_pallas_reparameterize,
+            )
 
             # pass BOTH words of the folded threefry key: keeping only the
             # low 32 bits would birthday-collide within long runs (a
             # repeated seed replays the exact same noise tensor)
             words = jax.random.key_data(key).ravel()[-2:].astype(jnp.int32)
+            if shard_rng:
+                if mu.shape[0] % n_data:
+                    print(f"[tpu] rng=tpu_prng: batch {mu.shape[0]} does "
+                          f"not divide the data axis ({n_data}) — threefry "
+                          "for this step shape")
+                    return model.reparameterize(key, mu, logvar)
+                return sharded_pallas_reparameterize(words, mu, logvar,
+                                                     mesh, DATA_AXIS)
             return pallas_reparameterize(words, mu, logvar)
         return model.reparameterize(key, mu, logvar)
 
@@ -125,7 +135,7 @@ def _make_loss_fn(model: ModelDef, cfg: Config, weighted: bool,
 
 def make_loss_fn(model: ModelDef, cfg: Config, mesh=None) -> Callable:
     """(params, key, batch) → (loss, (mse, kld)); all reductions fp32.
-    Pass the mesh when the step runs sharded (gates single-device-only RNG
+    Pass the mesh when the step runs sharded (routes mesh-aware RNG
     backends)."""
     return _make_loss_fn(model, cfg, weighted=False, mesh=mesh)
 

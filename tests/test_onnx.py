@@ -287,6 +287,143 @@ class TestDecoderFuzz:
             OnnxModel(b"\x80" * 8)
 
 
+# --------------------------------------------------------------------------
+# Independent cross-validation against torch.onnx.export (VERDICT r3 item 2).
+#
+# The reference's deliverable is a torch-produced ONNX graph (export-onnx
+# .ipynb cell 11) whose spec compliance torch guarantees; until round 4 our
+# emitter was verified only by a decoder written by the same author.  Here
+# torch exports the SAME weights independently, our decoder parses torch's
+# bytes, and the numpy evaluator must agree with (a) torch's own forward and
+# (b) our emitter's artifact — a systematic wire-format misunderstanding in
+# either the emitter or the decoder now fails instead of round-tripping.
+
+
+@pytest.fixture(scope="module")
+def torch_onnx_bytes(model_and_params, tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    try:
+        from torch.onnx._internal.torchscript_exporter import (
+            onnx_proto_utils,
+        )
+    except ImportError:
+        pytest.skip("legacy torchscript ONNX exporter unavailable")
+
+    _, params = model_and_params
+
+    class RefVAE(torch.nn.Module):
+        """rawvae/model.py:5-35 re-typed (same arch as bench.py's
+        baseline), weights copied from the JAX params (transposed —
+        nn.Linear stores W as (out, in))."""
+
+        def __init__(self):
+            super().__init__()
+            self.fc1 = torch.nn.Linear(SEG, 64)
+            self.fc21 = torch.nn.Linear(64, LATENT)
+            self.fc22 = torch.nn.Linear(64, LATENT)
+            self.fc3 = torch.nn.Linear(LATENT, 64)
+            self.fc4 = torch.nn.Linear(64, SEG)
+
+        def forward(self, x):
+            x = x.view(-1, SEG)
+            h1 = torch.relu(self.fc1(x))
+            mu, logvar = self.fc21(h1), self.fc22(h1)
+            std = torch.exp(0.5 * logvar)
+            z = mu + torch.randn_like(std) * std
+            return (torch.tanh(self.fc4(torch.relu(self.fc3(z)))),
+                    mu, logvar)
+
+    tm = RefVAE().eval()
+    with torch.no_grad():
+        for name in ("fc1", "fc21", "fc22", "fc3", "fc4"):
+            layer = getattr(tm, name)
+            layer.weight.copy_(torch.from_numpy(
+                np.asarray(params[name]["w"]).T.copy()))
+            layer.bias.copy_(torch.from_numpy(
+                np.asarray(params[name]["b"]).copy()))
+
+    # torch's post-export _add_onnxscript_fn only inserts CUSTOM
+    # onnxscript functions — this graph is all standard aten ops, so the
+    # pass is the identity — but it unconditionally imports the `onnx`
+    # module (absent in this image) first.  Bypass just that hook; the
+    # serialized ModelProto bytes it receives are already complete.
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, _: model_bytes
+    path = tmp_path_factory.mktemp("torch_onnx") / "torch_ref.onnx"
+    try:
+        torch.onnx.export(tm, torch.randn(SEG), str(path),
+                          opset_version=17, dynamo=False)
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+    return tm, path.read_bytes()
+
+
+def test_torch_export_decodes_with_our_parser(torch_onnx_bytes):
+    """Structural parity: torch's independently serialized bytes parse with
+    our decoder and carry the cell-11 graph shape — 5 Linear layers (Gemm,
+    (out, in) weight layout), one RandomNormalLike reparameterization, the
+    Relu/Tanh/Exp activation set, and the view(-1, seg) Reshape."""
+    _, data = torch_onnx_bytes
+    m = OnnxModel(data)
+    assert m.opset == 17
+    ops = [n.op_type for n in m.nodes]
+    assert ops.count("Gemm") == 5
+    assert ops.count("RandomNormalLike") == 1
+    assert ops.count("Relu") == 2 and ops.count("Tanh") == 1
+    assert ops.count("Exp") == 1 and "Reshape" in ops
+    assert len(m.outputs) == 3                   # (recon, mu, logvar)
+    # torch stores nn.Linear weights (out, in); ours are (in, out) —
+    # both must decode to their writer's layout
+    assert m.initializers["fc1.weight"].shape == (64, SEG)
+    assert m.initializers["fc4.bias"].shape == (SEG,)
+    gemms = [n for n in m.nodes if n.op_type == "Gemm"]
+    assert all(n.attrs.get("transB") == 1 for n in gemms)
+
+
+def test_torch_bytes_match_torch_forward(torch_onnx_bytes):
+    """Numeric parity, leg 1: our evaluator running torch's bytes agrees
+    with torch's own forward on the deterministic outputs (mu, logvar) and,
+    with the eps replayed, on the reconstruction."""
+    torch = pytest.importorskip("torch")
+    tm, data = torch_onnx_bytes
+    m = OnnxModel(data)
+    x = np.random.default_rng(5).uniform(-1, 1, SEG).astype(np.float32)
+    out = m.run({m.inputs[0]: x}, rng=np.random.default_rng(11))
+    recon_e, mu_e, logvar_e = (out[name] for name in m.outputs)
+
+    with torch.no_grad():
+        h1 = torch.relu(tm.fc1(torch.from_numpy(x).view(-1, SEG)))
+        mu_t, logvar_t = tm.fc21(h1), tm.fc22(h1)
+        np.testing.assert_allclose(mu_e, mu_t.numpy(), atol=2e-5)
+        np.testing.assert_allclose(logvar_e, logvar_t.numpy(), atol=2e-5)
+        eps = torch.from_numpy(np.random.default_rng(11).standard_normal(
+            (1, LATENT)).astype(np.float32))
+        z = mu_t + eps * torch.exp(0.5 * logvar_t)
+        recon_t = torch.tanh(tm.fc4(torch.relu(tm.fc3(z))))
+    np.testing.assert_allclose(recon_e, recon_t.numpy(), atol=2e-5)
+
+
+def test_torch_bytes_match_our_emitter(torch_onnx_bytes, model_and_params,
+                                       tmp_path):
+    """Numeric parity, leg 2: torch's artifact and our emitter's artifact —
+    same weights, two independent serializers — evaluate identically under
+    the same injected eps.  Closes the self-certification loop: if our
+    emitter wrote a field wrong AND our decoder misread it the same way,
+    this comparison against torch's bytes still catches it."""
+    model, params = model_and_params
+    _, torch_data = torch_onnx_bytes
+    mt = OnnxModel(torch_data)
+    mo = OnnxModel.load(export_onnx(model, params, tmp_path / "ours.onnx"))
+
+    x = np.random.default_rng(6).uniform(-1, 1, SEG).astype(np.float32)
+    out_t = mt.run({mt.inputs[0]: x}, rng=np.random.default_rng(3))
+    out_o = mo.run({mo.inputs[0]: x}, rng=np.random.default_rng(3))
+    # torch names outputs positionally ('26', 'onnx::Add_15', ...); ours
+    # are ('recon', 'mu', 'logvar') — both orders follow the forward tuple
+    for t_name, o_name in zip(mt.outputs, ("recon", "mu", "logvar")):
+        np.testing.assert_allclose(out_t[t_name], out_o[o_name], atol=2e-5)
+
+
 def test_onnx_seed_attr_honored(model_and_params, tmp_path):
     """Review regression: the numpy evaluator must honor the artifact's
     RandomNormalLike seed attribute when the caller injects no rng —

@@ -629,25 +629,111 @@ def test_perf_recipe_combination_trains():
     assert losses[-1].mean() < losses[0].mean()
 
 
-def test_tpu_prng_falls_back_to_threefry_under_mesh(capsys):
-    """Review regression: the pallas PRNG seeds per grid position and can't
-    be partitioned across a mesh (identical eps per shard position) — a
-    multi-device mesh must route rng=tpu_prng back to threefry."""
+def test_tpu_prng_active_under_mesh():
+    """VERDICT r4 item 3: rng=tpu_prng is mesh-sound — under the 8-device
+    mesh the shard_map-wrapped kernel runs (NOT the threefry fallback the
+    round-3 gate forced), the loss is deterministic, and it differs from
+    the threefry stream (proving the knob is actually active)."""
     from rawaudiovae_kelsey_tpu.parallel.step import make_loss_fn
 
     cfg = small_cfg()
     cfg.tpu.rng = "tpu_prng"
     model, opt, state = make_state(cfg, seed=3)
     mesh = make_mesh()  # 8 devices
-    loss_fn = make_loss_fn(model, cfg, mesh=mesh)
-    assert "threefry" in capsys.readouterr().out
+    loss_fn = jax.jit(make_loss_fn(model, cfg, mesh=mesh))
     batch = batch_of(cfg, n=16, seed=1)
     loss, _ = loss_fn(state.params, jax.random.PRNGKey(0), batch)
-    # threefry path: bit-identical to the rng=threefry loss fn
+    loss_b, _ = loss_fn(state.params, jax.random.PRNGKey(0), batch)
+    assert float(loss) == float(loss_b)          # deterministic
+    assert np.isfinite(float(loss))
+    cfg2 = small_cfg()                           # threefry reference
+    loss_tf, _ = jax.jit(make_loss_fn(model, cfg2, mesh=mesh))(
+        state.params, jax.random.PRNGKey(0), batch)
+    assert float(loss) != float(loss_tf)         # different eps stream
+
+
+def test_tpu_prng_indivisible_batch_falls_back(capsys):
+    """A batch that doesn't divide the data axis can't enter shard_map —
+    it must fall back to threefry loudly, not crash."""
+    from rawaudiovae_kelsey_tpu.parallel.step import make_loss_fn
+
+    cfg = small_cfg()
+    cfg.tpu.rng = "tpu_prng"
+    model, opt, state = make_state(cfg, seed=3)
+    mesh = make_mesh()
+    loss_fn = make_loss_fn(model, cfg, mesh=mesh)
+    batch = batch_of(cfg, n=9, seed=1)           # 9 % 8 != 0
+    loss, _ = jax.jit(loss_fn)(state.params, jax.random.PRNGKey(0), batch)
+    assert "does not divide" in capsys.readouterr().out
     cfg2 = small_cfg()
-    loss2, _ = make_loss_fn(model, cfg2)(state.params,
-                                         jax.random.PRNGKey(0), batch)
-    assert float(loss) == float(loss2)
+    loss2, _ = jax.jit(make_loss_fn(model, cfg2, mesh=mesh))(
+        state.params, jax.random.PRNGKey(0), batch)
+    assert float(loss) == float(loss2)           # bit-equal to threefry
+
+
+def test_sharded_reparameterize_decorrelated_across_shards():
+    """Statistical soundness of the per-shard seed fold: with mu=0,
+    logvar=0, z IS eps.  Across the 8-device mesh every shard's draw is
+    distinct, the pooled sample is standard-normal to sampling tolerance,
+    and cross-shard correlation is noise-level — at every mesh width
+    (shard-count-invariant soundness; the concrete stream is documented to
+    change with the mesh, like any reshard of a counter-based PRNG)."""
+    from rawaudiovae_kelsey_tpu.ops import sharded_pallas_reparameterize
+
+    rows_per_shard, latent = 64, 128
+    for n_shards in (2, 4, 8):
+        mesh = make_mesh(devices=jax.devices()[:n_shards])
+        n = n_shards * rows_per_shard
+        mu = jnp.zeros((n, latent), jnp.float32)
+        logvar = jnp.zeros((n, latent), jnp.float32)
+        seed = np.asarray([12345, 678], np.int32)
+        eps = np.asarray(jax.jit(
+            lambda s, m, lv: sharded_pallas_reparameterize(
+                s, m, lv, mesh, "data")
+        )(seed, mu, logvar))
+        shards = eps.reshape(n_shards, rows_per_shard * latent)
+        # pairwise distinct + decorrelated
+        for i in range(n_shards):
+            for j in range(i + 1, n_shards):
+                assert not np.array_equal(shards[i], shards[j])
+                r = np.corrcoef(shards[i], shards[j])[0, 1]
+                assert abs(r) < 0.05, (n_shards, i, j, r)
+        # pooled moments: N(0,1) to sampling error (n*latent >= 16384)
+        assert abs(eps.mean()) < 0.05
+        assert abs(eps.std() - 1.0) < 0.05
+        # determinism per (seed, mesh)
+        eps2 = np.asarray(jax.jit(
+            lambda s, m, lv: sharded_pallas_reparameterize(
+                s, m, lv, mesh, "data")
+        )(seed, mu, logvar))
+        np.testing.assert_array_equal(eps, eps2)
+
+
+def test_perf_recipe_ini_runs_on_mesh():
+    """VERDICT r4 item 3 done-criterion: configs/perf_bf16.ini runs
+    UNMODIFIED on the virtual 8-device mesh with rng=tpu_prng active."""
+    from pathlib import Path
+
+    from rawaudiovae_kelsey_tpu.config import load_config
+    from rawaudiovae_kelsey_tpu.parallel.mesh import batch_sharding
+
+    ini = Path(__file__).resolve().parents[1] / "configs" / "perf_bf16.ini"
+    cfg = load_config(ini)
+    assert cfg.tpu.rng == "tpu_prng"
+    # shrink shapes only (not knobs) so the CPU-mesh step stays fast
+    cfg.audio.segment_length = 256
+    cfg.vae.n_units = 128
+    cfg.vae.latent_dim = 32
+    cfg.training.batch_size = 64
+    model, opt, state = make_state(cfg, seed=0)
+    mesh = make_mesh()
+    step = build_train_step(model, cfg, opt, mesh=mesh, donate=False)
+    batch = jax.device_put(batch_of(cfg), batch_sharding(mesh))
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
 def test_pallas_reparameterize_uses_both_seed_words():
