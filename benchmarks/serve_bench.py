@@ -54,6 +54,30 @@ def _post(port: int, path: str, body: bytes, timeout: float = 300.0):
         conn.close()
 
 
+def _stream_probe(port: int, path: str, body: bytes,
+                  timeout: float = 300.0):
+    """POST a streamed reconstruct and time (a) the first PAYLOAD byte —
+    the WAV header goes out before any decode, so first-audio is when the
+    received byte count passes the ~60-byte header — and (b) the full
+    body.  Returns (first_s, total_s, n_bytes)."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    try:
+        t0 = time.perf_counter()
+        conn.request("POST", path, body=body)
+        resp = conn.getresponse()
+        got, t_first = 0, None
+        while True:
+            piece = resp.read(1 << 16)
+            if not piece:
+                break
+            got += len(piece)
+            if t_first is None and got > 128:
+                t_first = time.perf_counter() - t0
+        return t_first, time.perf_counter() - t0, got
+    finally:
+        conn.close()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=16)
@@ -68,6 +92,12 @@ def main() -> None:
     ap.add_argument("--ola", action="store_true",
                     help="overlap-add resynthesis (hop = seg/2)")
     ap.add_argument("--unloaded-probes", type=int, default=20)
+    ap.add_argument("--stream-seconds", type=float, default=30.0,
+                    help="long-clip length for the streaming first-chunk "
+                         "latency row (0 disables)")
+    ap.add_argument("--stream-chunk", type=int, default=256,
+                    help="frames per streamed chunk")
+    ap.add_argument("--stream-probes", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -150,6 +180,39 @@ def main() -> None:
             th.join()
         wall = time.perf_counter() - t_start
 
+        # Streaming first-chunk latency (VERDICT r3 item 6): a LONG clip
+        # through /reconstruct?stream=1 — first audio must decouple from
+        # clip length (the chunks pipeline through the coalescing queue).
+        stream_stats = None
+        if args.stream_seconds > 0:
+            n_long = int(args.stream_seconds * SR)
+            long_wave = (0.4 * np.sin(
+                2 * np.pi * 440.0 * np.arange(n_long) / SR)
+            ).astype(np.float32)
+            long_body = encode_wav_bytes(long_wave, SR)
+            sep = "&" if "?" in path else "?"
+            spath = f"{path}{sep}stream=1&chunk={args.stream_chunk}"
+            firsts, totals = [], []
+            nbytes = 0
+            for _ in range(max(args.stream_probes, 1)):
+                first, total, nbytes = _stream_probe(port, spath, long_body)
+                if first is not None:
+                    firsts.append(first)
+                    totals.append(total)
+            # same clip, unstreamed: what the caller would have waited
+            t0 = time.perf_counter()
+            status, whole = _post(port, path, long_body)
+            unstreamed_s = time.perf_counter() - t0
+            stream_stats = {
+                "clip_seconds": args.stream_seconds,
+                "chunk_frames": args.stream_chunk,
+                "first_chunk_p50_ms": round(_percentile(firsts, 50) * 1e3, 1),
+                "first_chunk_min_ms": round(min(firsts) * 1e3, 1),
+                "stream_total_p50_ms": round(_percentile(totals, 50) * 1e3, 1),
+                "unstreamed_total_ms": round(unstreamed_s * 1e3, 1),
+                "bytes": nbytes,
+            } if firsts else {"error": "no stream probe completed"}
+
     n_ok = len(lat_loaded)
     total_audio_s = n_ok * args.seconds
     result = {
@@ -170,6 +233,8 @@ def main() -> None:
         "loaded_p90_ms": round(_percentile(lat_loaded, 90) * 1e3, 1),
         "loaded_p99_ms": round(_percentile(lat_loaded, 99) * 1e3, 1),
     }
+    if stream_stats is not None:
+        result["streaming"] = stream_stats
     print(json.dumps(result))
 
 

@@ -8,6 +8,9 @@ Endpoints (bodies are WAV bytes via our own codec unless noted):
 
   GET  /healthz                    → {"status": "ok", model info}
   POST /reconstruct[?hop=N&ola=1]  → wav in, resynthesized wav out
+       [&stream=1&chunk=N]           progressive WAV: payload bytes go out
+                                     per decoded chunk, so first audio
+                                     decouples from clip length
   POST /encode[?hop=N]             → wav in, npz{mu, logvar} out
   POST /decode                     → npz{z} in, wav of decoded frames out
   POST /interpolate[?alphas=0,0.5,1 | ?mode=sine&cycles=C][&hop=N&ola=1]
@@ -38,7 +41,9 @@ from rawaudiovae_kelsey_tpu.io.wavio import (
     WavFormatError,
     decode_wav_bytes,
     encode_wav_bytes,
+    encode_wav_payload,
     to_mono,
+    wav_header_bytes,
 )
 
 
@@ -87,6 +92,35 @@ class _Handler(BaseHTTPRequestHandler):
             wave = resample(wave, sr, self.sampling_rate)
         return wave
 
+    def _stream_reconstruct(self, wave, hop, ola, q) -> None:
+        """``/reconstruct?stream=1[&chunk=N]``: progressive WAV response.
+        The clip is split into ``chunk`` frames per device dispatch
+        (default: the backend batch size), all chunks pipeline through the
+        coalescing queue up front, and payload bytes go out as each chunk
+        decodes — first audio lands after ~one chunk's device time instead
+        of the whole clip's.  The output length is known from the input, so
+        the response carries an exact Content-Length and a spec-complete
+        WAV header (no chunked transfer coding needed); a mid-stream
+        failure can only truncate the body, which clients detect from the
+        declared length."""
+        chunk = int(q.get("chunk", ["0"])[0])
+        n, gen = self.backend.reconstruct_stream(
+            wave, hop=hop, ola=ola, chunk_frames=chunk,
+            timeout=self.request_timeout_s,
+        )
+        seg = self.backend.model.segment_length
+        total = 0 if n == 0 else (
+            (n - 1) * hop + seg if (ola and hop) else n * seg)
+        header = wav_header_bytes(total, self.sampling_rate)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(len(header) + 4 * total))
+        self.end_headers()
+        self.wfile.write(header)
+        for piece in gen:
+            self.wfile.write(encode_wav_payload(piece))
+            self.wfile.flush()
+
     # ------------------------------------------------------------ handlers --
     def do_GET(self):  # noqa: N802 (http.server API)
         if urlparse(self.path).path == "/healthz":
@@ -115,6 +149,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if parsed.path == "/reconstruct":
                 wave = self._body_as_wave()
+                if q.get("stream", ["0"])[0] in ("1", "true"):
+                    self._stream_reconstruct(wave, hop, ola, q)
+                    return
                 out = self.backend.reconstruct(wave, hop=hop, ola=ola).result(
                     self.request_timeout_s
                 )

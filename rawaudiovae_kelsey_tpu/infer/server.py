@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from rawaudiovae_kelsey_tpu.infer.api import frame_audio, stretch_alfa
-from rawaudiovae_kelsey_tpu.infer.synthesis import flat_concat, overlap_add
+from rawaudiovae_kelsey_tpu.infer.synthesis import (
+    OverlapAddStream,
+    flat_concat,
+    overlap_add,
+)
 from rawaudiovae_kelsey_tpu.models.registry import ModelDef
 from rawaudiovae_kelsey_tpu.models.vae import reparameterize
 
@@ -36,6 +40,9 @@ class _Request:
     # resynthesis options for "reconstruct"
     hop: Optional[int] = None
     ola: bool = False
+    raw: bool = False           # resolve with decoded FRAMES, not a waveform
+                                # (reconstruct_stream's cross-chunk OLA
+                                # stitches on the consumer side)
 
 
 class InferenceServer:
@@ -133,6 +140,60 @@ class InferenceServer:
         frames = self._to_frames(audio, hop)
         return self._submit(_Request("reconstruct", frames, Future(),
                                      hop=hop, ola=ola))
+
+    def reconstruct_stream(self, audio: np.ndarray,
+                           hop: Optional[int] = None, ola: bool = False,
+                           chunk_frames: int = 0,
+                           timeout: Optional[float] = None):
+        """Chunked long-clip resynthesis: yields waveform pieces as they
+        decode, so first audio arrives after ~one chunk's device time
+        instead of the whole clip's (VERDICT r3 item 6 — the non-streaming
+        path runs one giant coalesced dispatch per request and its latency
+        grows with clip length).
+
+        Returns ``(n_frames, generator)``.  EVERY chunk request is
+        submitted up front — they pipeline through the same coalescing
+        queue and device batches as ordinary traffic — and the generator
+        yields each chunk's samples in order.  With ``deterministic=True``
+        the concatenation of the yielded pieces is bit-identical to
+        ``reconstruct(...)``'s result: flat-concat chunks split exactly on
+        frame boundaries, and the OLA mode resolves raw decoded frames and
+        stitches them through :class:`OverlapAddStream` (same float64
+        accumulation order).
+
+        ``chunk_frames`` defaults to the server batch size (one device
+        batch per chunk — smaller chunks lower first-audio latency but pad
+        more rows).  RNG note: the non-deterministic reparameterization
+        draws per DEVICE BATCH, so a streamed clip's noise differs from
+        the same clip submitted whole (documented; deterministic=True is
+        bit-identical either way).
+        """
+        frames = self._to_frames(audio, hop)
+        n = len(frames)
+        step = int(chunk_frames) if chunk_frames else self.batch_size
+        step = max(1, step)
+        raw = bool(ola and hop)
+        futs = [
+            self._submit(_Request("reconstruct", frames[i:i + step],
+                                  Future(), hop=hop, ola=ola, raw=raw))
+            for i in range(0, n, step)
+        ]
+
+        def gen():
+            if not raw:
+                for f in futs:
+                    yield f.result(timeout)
+                return
+            stitch = OverlapAddStream(hop)
+            for f in futs:
+                piece = stitch.add(f.result(timeout))
+                if piece.size:
+                    yield piece
+            tail = stitch.finish()
+            if tail.size:
+                yield tail
+
+        return n, gen()
 
     def interpolate(self, audio_a: np.ndarray, audio_b: np.ndarray, *,
                     alphas=None, alfa: Optional[np.ndarray] = None,
@@ -323,7 +384,9 @@ class InferenceServer:
                 r.future.set_result(outs[0][lo:hi])
             else:  # reconstruct → resynthesize
                 frames = outs[0][lo:hi]
-                if r.ola and r.hop:
+                if r.raw:
+                    r.future.set_result(frames)
+                elif r.ola and r.hop:
                     r.future.set_result(overlap_add(frames, r.hop))
                 else:
                     r.future.set_result(flat_concat(frames))

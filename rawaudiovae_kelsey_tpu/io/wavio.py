@@ -152,36 +152,58 @@ def encode_wav_bytes(samples: np.ndarray, sample_rate: int,
         samples = samples[:, None]
     elif samples.ndim != 2:
         raise ValueError("samples must be 1-D or 2-D (frames, channels)")
-    channels = samples.shape[1]
+    return (wav_header_bytes(samples.shape[0], sample_rate,
+                             channels=samples.shape[1], subtype=subtype)
+            + encode_wav_payload(samples, subtype))
 
+
+def encode_wav_payload(samples: np.ndarray, subtype: str = "float32") -> bytes:
+    """Raw data-chunk bytes for ``samples`` — pair with
+    :func:`wav_header_bytes` to write a WAV progressively (the HTTP
+    streaming path emits the header once, then one payload per decoded
+    chunk).  ``encode_wav_bytes`` is exactly header + payload."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if subtype == "float32":
+        return samples.astype("<f4").tobytes()
+    if subtype == "pcm16":
+        clipped = np.clip(samples.astype(np.float64), -1.0, 1.0 - 1.0 / 32768)
+        return (clipped * 32768.0).round().astype("<i2").tobytes()
+    raise ValueError(f"unsupported subtype {subtype!r}")
+
+
+def wav_header_bytes(n_frames: int, sample_rate: int, channels: int = 1,
+                     subtype: str = "float32") -> bytes:
+    """Complete RIFF prefix (through the ``data`` chunk size) for a WAV of
+    exactly ``n_frames`` sample frames: a streaming writer that knows its
+    output length up front sends this first, then payload bytes as they
+    are produced."""
     if subtype == "float32":
         tag, bits = WAVE_FORMAT_IEEE_FLOAT, 32
-        payload = samples.astype("<f4").tobytes()
     elif subtype == "pcm16":
         tag, bits = WAVE_FORMAT_PCM, 16
-        clipped = np.clip(samples.astype(np.float64), -1.0, 1.0 - 1.0 / 32768)
-        payload = (clipped * 32768.0).round().astype("<i2").tobytes()
     else:
         raise ValueError(f"unsupported subtype {subtype!r}")
-
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
+    data_len = n_frames * block_align
     fmt_body = struct.pack(
         "<HHIIHH", tag, channels, sample_rate, byte_rate, block_align, bits
     )
     if tag == WAVE_FORMAT_IEEE_FLOAT:
         # float WAVs conventionally carry cbSize=0 and a fact chunk
         fmt_body += struct.pack("<H", 0)
-        fact = b"fact" + struct.pack("<II", 4, samples.shape[0])
+        fact = b"fact" + struct.pack("<II", 4, n_frames)
     else:
         fact = b""
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
         + fact
-        + b"data" + struct.pack("<I", len(payload)) + payload
+        + b"data" + struct.pack("<I", data_len)
     )
-    riff = b"WAVE" + chunks
-    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+    riff_len = len(b"WAVE") + len(chunks) + data_len
+    return b"RIFF" + struct.pack("<I", riff_len) + b"WAVE" + chunks
 
 
 def to_mono(samples: np.ndarray, mode: str = "mean") -> np.ndarray:

@@ -345,3 +345,44 @@ def test_interpolate_matches_api_composition(server):
                                   mu_b, logvar_b, alphas=alphas,
                                   deterministic=True)
     np.testing.assert_allclose(got, flat_concat(frames), atol=1e-6)
+
+
+def test_stream_reconstruct_matches_full(server):
+    """VERDICT r4 item 6: /reconstruct?stream=1 must yield byte-identical
+    WAV output to the non-streaming path (deterministic mode), with a
+    correct Content-Length and a spec-complete header — chunking changes
+    WHEN bytes arrive, never WHAT they are."""
+    wave, body = _wav_body(SEG * 11 + 37, seed=7)
+    st_full, _, full = _post(server.port, "/reconstruct", body)
+    st_stream, ctype, stream = _post(
+        server.port, "/reconstruct?stream=1&chunk=3", body)
+    assert st_full == 200 and st_stream == 200
+    assert ctype == "audio/wav"
+    assert stream == full
+
+
+def test_stream_reconstruct_ola_matches_full(server):
+    """The OLA mode stitches raw decoded frame chunks through
+    OverlapAddStream — cross-chunk overlap regions must come out
+    bit-identical to the one-shot overlap_add."""
+    wave, body = _wav_body(SEG * 9, seed=8)
+    _, _, full = _post(server.port, "/reconstruct?hop=64&ola=1", body)
+    _, _, stream = _post(
+        server.port, "/reconstruct?hop=64&ola=1&stream=1&chunk=5", body)
+    assert stream == full
+
+
+def test_stream_content_length_exact(server):
+    """The streaming response declares its exact byte count up front (the
+    output length is a pure function of the input), so clients can detect
+    a mid-stream failure as truncation."""
+    wave, body = _wav_body(SEG * 5, seed=9)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+    conn.request("POST", "/reconstruct?stream=1&chunk=2", body=body)
+    resp = conn.getresponse()
+    declared = int(resp.getheader("Content-Length"))
+    data = resp.read()
+    conn.close()
+    assert len(data) == declared
+    out, sr = _wav_from_bytes(data)
+    assert sr == 44100 and out.shape == (SEG * 5,)

@@ -398,3 +398,47 @@ def test_som_dead_units_hold_position():
     norms = np.linalg.norm(codebook, axis=1)
     # nothing collapsed toward zero
     assert norms.min() > 1.0
+
+
+def test_overlap_add_stream_bit_identical():
+    """OverlapAddStream's chunked emission must concatenate to EXACTLY
+    overlap_add's output for every chunking (same float64 accumulation
+    order per sample), including chunk sizes smaller than the overlap
+    depth and a trailing partial chunk."""
+    from rawaudiovae_kelsey_tpu.infer.synthesis import OverlapAddStream
+
+    seg, hop = 256, 64
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(-1, 1, (23, seg)).astype(np.float32)
+    want = overlap_add(frames, hop)
+    for chunk in (1, 2, 5, 7, 23, 40):
+        stream = OverlapAddStream(hop)
+        pieces = [stream.add(frames[i:i + chunk])
+                  for i in range(0, len(frames), chunk)]
+        pieces.append(stream.finish())
+        got = np.concatenate([p for p in pieces if p.size])
+        np.testing.assert_array_equal(got, want), chunk
+    # rect window path too
+    want_rect = overlap_add(frames, hop, window="rect")
+    stream = OverlapAddStream(hop, window="rect")
+    got = np.concatenate([stream.add(frames[:11]), stream.add(frames[11:]),
+                          stream.finish()])
+    np.testing.assert_array_equal(got, want_rect)
+
+
+def test_server_reconstruct_stream_matches_whole(model_and_params):
+    """InferenceServer.reconstruct_stream: ordered chunk concatenation ==
+    the one-shot reconstruct (deterministic mode), for flat and OLA."""
+    model, params = model_and_params
+    audio = _audio(SEG * 9, seed=4)
+    with InferenceServer(model, params, batch_size=8,
+                         deterministic=True) as srv:
+        whole = srv.reconstruct(audio).result(120)
+        n, gen = srv.reconstruct_stream(audio, chunk_frames=2, timeout=120)
+        assert n == 9
+        np.testing.assert_array_equal(np.concatenate(list(gen)), whole)
+
+        whole_ola = srv.reconstruct(audio, hop=64, ola=True).result(120)
+        n, gen = srv.reconstruct_stream(audio, hop=64, ola=True,
+                                        chunk_frames=5, timeout=120)
+        np.testing.assert_array_equal(np.concatenate(list(gen)), whole_ola)

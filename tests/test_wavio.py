@@ -239,3 +239,30 @@ def test_validate_deep_handles_empty_wav(tmp_path):
     rep = validate_dataset(tmp_path, 44100, deep=True)
     assert "empty.wav" in rep.silent
     assert not rep.corrupt
+
+
+def test_header_payload_split_equals_encode(tmp_path):
+    """wav_header_bytes + encode_wav_payload (the HTTP streaming writer's
+    primitives) must concatenate to exactly encode_wav_bytes, for both
+    subtypes, mono and stereo, and chunked payload emission."""
+    from rawaudiovae_kelsey_tpu.io.wavio import (
+        encode_wav_bytes,
+        encode_wav_payload,
+        wav_header_bytes,
+    )
+
+    rng = np.random.default_rng(0)
+    for subtype in ("float32", "pcm16"):
+        for shape in ((777,), (777, 2), (0,)):
+            s = rng.uniform(-1, 1, shape).astype(np.float32)
+            ch = s.shape[1] if s.ndim == 2 else 1
+            whole = encode_wav_bytes(s, 44100, subtype)
+            split = (wav_header_bytes(s.shape[0], 44100, ch, subtype)
+                     + encode_wav_payload(s, subtype))
+            assert whole == split, (subtype, shape)
+        # progressive chunk emission
+        s = rng.uniform(-1, 1, 777).astype(np.float32)
+        parts = [encode_wav_payload(s[i:i + 100], subtype)
+                 for i in range(0, len(s), 100)]
+        assert (wav_header_bytes(len(s), 44100, 1, subtype)
+                + b"".join(parts)) == encode_wav_bytes(s, 44100, subtype)
