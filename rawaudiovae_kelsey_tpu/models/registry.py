@@ -74,12 +74,17 @@ def _resolve_backend(cfg: Config, arch: str) -> str:
     return "pallas" if on_tpu else "xla"
 
 
-def build_model(cfg: Config) -> ModelDef:
-    """Construct the ModelDef selected by ``cfg.vae.arch``."""
+def build_model(cfg: Config, backend_override: str | None = None) -> ModelDef:
+    """Construct the ModelDef selected by ``cfg.vae.arch``.
+
+    ``backend_override`` bypasses :func:`_resolve_backend` — used by
+    :func:`resident_model` to re-route ``best`` for the on-chip epoch/stream
+    scans.  Params layouts are backend-independent, so a state initialized
+    under one backend runs under another."""
     seg = cfg.audio.segment_length
     latent = cfg.vae.latent_dim
     arch = cfg.vae.arch
-    backend = _resolve_backend(cfg, arch)
+    backend = backend_override or _resolve_backend(cfg, arch)
 
     if arch == "dense":
         n_units = cfg.vae.n_units
@@ -144,6 +149,21 @@ def build_model(cfg: Config) -> ModelDef:
         )
 
     raise ValueError(f"unknown arch {arch!r}")
+
+
+def resident_model(cfg: Config, model: ModelDef) -> ModelDef:
+    """The ModelDef the DEVICE-RESIDENT trainers should scan with:
+    ``backend=best`` routes them to XLA even where the standalone step
+    resolves Pallas.  Measured (v5e, bf16 batch 4096, same-session direct
+    pairing, round 4): the fused-backward custom calls lose ~19% inside
+    the on-chip epoch scan — XLA 4.32 M vs Pallas 3.51 M frames/s steady —
+    while standalone the SAME kernels win (4.65 vs 4.52 M).  In-scan they
+    need a scoped-vmem raise just to compile (ops/pallas_mlp.vmem_headroom)
+    and schedule worse against the loop machinery.  An EXPLICIT
+    ``backend=pallas`` is honored unchanged."""
+    if cfg.tpu.backend != "best":
+        return model
+    return build_model(cfg, backend_override="xla")
 
 
 def tree_dotted_names(params):

@@ -66,10 +66,41 @@ DEFAULT_BLOCK_B = 128          # fp32 tiles; bf16 halves VMEM so 256 fits
 # buys feasibility, not speculatively.
 _VMEM_LIMIT = 64 * 1024 * 1024
 
+# Context-scoped headroom for single-pass kernels that NEED it (see
+# vmem_headroom): inside the device-resident epoch/stream scans XLA's
+# scoped-vmem accounting charges a custom call for overlapped loop
+# machinery it doesn't charge standalone, and enc_bwd_dw1 (measured
+# 16.63 MB there vs under 16 MB standalone) fails AOT compile at the
+# 16 MB default.  The raise rides ONLY the resident trainers' traces AND
+# only the call sites marked ``headroom=True`` — a blanket raise on every
+# single-pass kernel in the scan measured -21% resident direct rate
+# (3.45 vs 4.38 M; same starvation effect as the -15% note above), while
+# the standalone step keeps the default everywhere.
+_VMEM_HEADROOM_DEFAULT = 24 * 1024 * 1024
+_vmem_headroom_active = 0
 
-def _params(passes: int = 1):
+
+@contextlib.contextmanager
+def vmem_headroom(limit_bytes: int = _VMEM_HEADROOM_DEFAULT):
+    """Raise vmem_limit_bytes for ``headroom=True`` kernel calls TRACED
+    inside this context (pallas_call binds compiler params at trace time,
+    so wrapping the body of a jitted trainer is enough).  Used by the
+    resident epoch/stream trainers; nestable, last setting wins."""
+    global _vmem_headroom_active
+    prev = _vmem_headroom_active
+    _vmem_headroom_active = limit_bytes
+    try:
+        yield
+    finally:
+        _vmem_headroom_active = prev
+
+
+def _params(passes: int = 1, headroom: bool = False):
     if passes == 3:
         return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    if headroom and _vmem_headroom_active:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_headroom_active)
     return None
 
 
@@ -439,7 +470,9 @@ def grad_accum(a, b, block_b: int = 0):
                 jax.ShapeDtypeStruct((1, m), jnp.float32),
             ],
             interpret=_interpret(),
-            compiler_params=_params(passes),
+            # headroom: 16.02 MB scoped-vmem charge inside the resident
+            # scans (16 K over the default) — needs the raise there too
+            compiler_params=_params(passes, headroom=True),
         )(a, b)
     return dw, db.reshape(-1)
 
@@ -545,7 +578,10 @@ def enc_bwd_dw1(x, h, dmu, dlogvar, w21, w22, block_b: int = 0):
                 jax.ShapeDtypeStruct((1, units), jnp.float32),
             ],
             interpret=_interpret(),
-            compiler_params=_params(passes),
+            # headroom: measured 16.63 MB scoped-vmem charge inside the
+            # resident scans (> the 16 MB default) — the one single-pass
+            # kernel that needs the raise there
+            compiler_params=_params(passes, headroom=True),
         )(x, h, dmu, dlogvar, w21, w22)
     return dw1, db1.reshape(-1)
 
@@ -615,7 +651,10 @@ def grad_accum2(a, b1, b2, block_b: int = 0):
                 jax.ShapeDtypeStruct((1, m), jnp.float32),
             ],
             interpret=_interpret(),
-            compiler_params=_params(passes),
+            # headroom: backward kernel — same in-scan scoped-vmem
+            # accounting as grad_accum (the fwd kernels stay at the
+            # default: their prefetch overlap is the -21% penalty)
+            compiler_params=_params(passes, headroom=True),
         )(a, b1, b2)
     return dw1, db1.reshape(-1), dw2, db2.reshape(-1)
 
@@ -693,7 +732,8 @@ def dec_bwd_fused(da, h3, z, w4, w3, block_b: int = 0):
                 jax.ShapeDtypeStruct((1, units), jnp.float32),
             ],
             interpret=_interpret(),
-            compiler_params=_params(passes),
+            # headroom: backward kernel (see grad_accum note)
+            compiler_params=_params(passes, headroom=True),
         )(da, h3, z, w4, w3)
     return dz[:nrows], dw3, db3.reshape(-1)
 

@@ -39,6 +39,7 @@ from rawaudiovae_kelsey_tpu.data.framing import (
     overlapping_frames,
 )
 from rawaudiovae_kelsey_tpu.models.registry import ModelDef
+from rawaudiovae_kelsey_tpu.ops.pallas_mlp import vmem_headroom
 from rawaudiovae_kelsey_tpu.parallel.step import (
     _matmul_precision,
     make_loss_fn,
@@ -201,7 +202,10 @@ def build_resident_epoch(
     # (group_k, n_batches) loss matrix in one call.
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_epochs(state: TrainState, data: jax.Array, epoch0, k: int = 1):
-        with jax.default_matmul_precision(prec):
+        # vmem_headroom: scoped-vmem accounting charges the fused-backward
+        # custom calls more inside this scan than standalone (measured
+        # 16.63 MB > the 16 MB default for enc_bwd_dw1) — trace-scoped raise
+        with jax.default_matmul_precision(prec), vmem_headroom():
             epoch0 = jnp.asarray(epoch0)
             # all group epochs' permutations in one BATCHED sort (see
             # docstring); vmap preserves per-key results so row order
@@ -367,7 +371,8 @@ def build_resident_epoch_sharded(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_epochs(state, sharded_frames, epoch0, k: int = 1):
-        with jax.default_matmul_precision(prec):
+        # same trace-scoped vmem raise as the single-device run_epochs
+        with jax.default_matmul_precision(prec), vmem_headroom():
             epoch0 = jnp.asarray(epoch0)
 
             def eb(s, i):

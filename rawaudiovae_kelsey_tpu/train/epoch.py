@@ -344,10 +344,14 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     (parallel/resident.py), dispatches queued back-to-back with loss
     drains deferred to checkpoint/histogram/interrupt boundaries;
     checkpoints/TB/reconstruction between epochs."""
+    from rawaudiovae_kelsey_tpu.models.registry import resident_model
     from rawaudiovae_kelsey_tpu.parallel import resident as R
     from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
 
     optimizer = build_optimizer(cfg)
+    # backend=best resolves to XLA for the on-chip scan (measured ~19%
+    # in-scan penalty for the Pallas custom calls — registry.resident_model)
+    model = resident_model(cfg, ctx.model)
     # one fixed group size for the whole run: every dispatch reuses the one
     # compiled group_k-epoch graph with a dynamic active count (short
     # groups at checkpoint boundaries mask their tail) — exactly ONE
@@ -384,7 +388,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             n_frames_padded = len(frames)
         dev_corpus = R.put_frames_sharded(frames, cfg, ctx.mesh)
         run_epochs, n_batches = R.build_resident_epoch_sharded(
-            ctx.model, cfg, optimizer, n_frames_padded, ctx.mesh,
+            model, cfg, optimizer, n_frames_padded, ctx.mesh,
             group_k=group_k,
         )
         del frames
@@ -394,7 +398,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
               f"{n_batches} batches/epoch in one compiled call")
     else:
         run_epochs, n_batches = R.build_resident_epoch(
-            ctx.model, cfg, optimizer, n_samples, layout=layout,
+            model, cfg, optimizer, n_samples, layout=layout,
             group_k=group_k,
         )
         dev_corpus = R.put_resident(corpus, cfg, layout)
@@ -514,6 +518,12 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
     total_t0 = time.perf_counter()
     io_s = 0.0  # host wall spent in boundary actions (hist/ckpt/best I/O)
+    # steady-state marker: set right after the FIRST group finishes (that
+    # group's dispatch carries the jit compile, ~50-140 s through the
+    # tunnel), so the summary can report a compile-excluded e2e rate —
+    # the number that actually describes a long run's throughput
+    steady_t0 = None
+    steady_done = 0  # epochs finished when the marker was set
     ctx.timer.start()
     epoch = start_epoch
     predispatched = None  # last epoch of a group already in flight
@@ -535,6 +545,12 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             # the group's compute, so the checkpoint-boundary drain doesn't
             # pay a fresh fetch round trip per pending group
             L.prefetch_host(dev_losses)
+            if steady_t0 is None:
+                # the block is free: the first dispatch's compile already
+                # gates everything behind it
+                jax.block_until_ready(dev_losses)
+                steady_t0 = time.perf_counter()
+                steady_done = last + 1 - start_epoch
             if profiling:
                 drain()
                 jax.profiler.stop_trace()
@@ -561,11 +577,6 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         if ((hist_fires or ckpt_fires) and not stop_now
                 and profile_epoch < 0 and epoch + 1 < epochs):
             snap = snap_fn(ctx.state)
-            # stream the snapshot to the host NOW: every boundary action
-            # below reads it (via fetch_host_state), and the async copy
-            # rides the link while the device runs the dispatched-ahead
-            # group — the blocking fetch then finds the bytes resident
-            L.prefetch_host(snap)
             if ckpt_fires and cfg.dataset.generate_test:
                 # device-side eval must be enqueued BEFORE the next group's
                 # dispatch, or it queues behind up to group_k epochs of
@@ -588,6 +599,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             next_group = (epoch + 1, nk, dl2, time.perf_counter(), nlast)
 
         drain()  # only groups ≤ the boundary: next_group isn't pending yet
+        if snap is not None:
+            # stream the snapshot to the host only AFTER the drain: every
+            # boundary action below reads it (via fetch_host_state) and the
+            # async copy rides the link while the device runs the
+            # dispatched-ahead group — but enqueued BEFORE the drain it
+            # serialized the tiny loss fetch behind the whole state's bytes
+            # (~300 MB through the tunnel), stalling the loop ~5 s per
+            # boundary while the device idled (round-4 measurement)
+            L.prefetch_host(snap)
         io_t0 = time.perf_counter()
         live = None
         if snap is not None:
@@ -717,6 +737,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
               f"{done * n_batches * batch_size / max(wall, 1e-9):,.0f} "
               f"frames/s wall-clock incl. checkpoints "
               f"({io_s:.2f}s of that is boundary host I/O)")
+        if steady_t0 is not None and done > steady_done:
+            # the long-run figure: everything after the first group (whose
+            # dispatch carries the one-time jit compile), checkpoints and
+            # boundary I/O included
+            sd = done - steady_done
+            sw = max(time.perf_counter() - steady_t0, 1e-9)
+            print(f"====> Resident steady e2e (excl. first-dispatch "
+                  f"compile): {sd} epochs in {sw:.2f}s = "
+                  f"{sd * n_batches * batch_size / sw:,.0f} frames/s")
 
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")

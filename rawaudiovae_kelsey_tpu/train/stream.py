@@ -340,9 +340,13 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         make_loss_fn,
         make_weighted_loss_fn,
     )
+    from rawaudiovae_kelsey_tpu.models.registry import resident_model
     from rawaudiovae_kelsey_tpu.train.optim import build_optimizer
     from rawaudiovae_kelsey_tpu.train.state import TrainState
 
+    # backend=best resolves to XLA for the on-chip scan (measured ~19%
+    # in-scan penalty for the Pallas custom calls — registry.resident_model)
+    model = resident_model(cfg, ctx.model)
     batch_size = cfg.training.batch_size
     interval = cfg.training.checkpoint_interval
     hist_every = cfg.tpu.histogram_interval
@@ -445,14 +449,14 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # multiple and zero-weight them — grads and loss match the
         # unpadded sequence.  Multi-host: the global batch is the per-host
         # blocks concatenated, so the mask pattern tiles per host.
-        wloss_fn = make_weighted_loss_fn(ctx.model, cfg, mesh=mesh)
+        wloss_fn = make_weighted_loss_fn(model, cfg, mesh=mesh)
         wgrad_fn = jax.value_and_grad(wloss_fn, has_aux=True)
         row_w = jnp.tile(jnp.concatenate([
             jnp.ones(batch_size, jnp.float32),
             jnp.zeros(pad_rows, jnp.float32),
         ]), nproc if mesh is not None else 1)
     else:
-        loss_fn = make_loss_fn(ctx.model, cfg, mesh=mesh)
+        loss_fn = make_loss_fn(model, cfg, mesh=mesh)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     prec = _matmul_precision(cfg.tpu.precision)
 
@@ -469,6 +473,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                  chunk * (batch_size + pad_rows) * seg_len * dtype_bytes
                  <= 1 << 30)
 
+    from rawaudiovae_kelsey_tpu.ops.pallas_mlp import vmem_headroom
+
     @jax.jit
     def run_chunk(state, idx_chunk, nk, frames):
         # frames passed as an argument (not closed over): multi-process
@@ -478,7 +484,10 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # so the whole run reuses ONE compiled executable; distinct static
         # chunk lengths each cost a full ~50 s train-step compile through
         # the tunnel (the resident epoch trainer's fixed-group trick).
-        with jax.default_matmul_precision(prec):
+        # vmem_headroom: same trace-scoped raise as the resident epochs —
+        # scoped-vmem accounting charges the fused-backward custom calls
+        # more inside this scan than standalone.
+        with jax.default_matmul_precision(prec), vmem_headroom():
             if idx_sharding is not None:
                 idx_chunk = jax.lax.with_sharding_constraint(
                     idx_chunk, idx_sharding

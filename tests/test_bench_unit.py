@@ -72,7 +72,7 @@ def test_matrix_specs_build_valid_configs(bench):
     for spec in bench.MATRIX:
         assert spec["name"] not in seen, f"duplicate {spec['name']}"
         seen.add(spec["name"])
-        if spec.get("metric") != "synth":
+        if spec.get("metric") not in ("synth", "resident"):
             cfg = bench._build_cfg(spec["arch"], spec["batch"],
                                    spec["precision"],
                                    spec.get("backend", "pallas"),
@@ -101,3 +101,35 @@ def test_matrix_covers_baseline_configs(bench):
 def test_flops_per_frame_positive(bench):
     for arch in ("dense", "deep", "conv1d"):
         assert bench.flops_per_frame(arch) > 1e6
+
+
+def test_parse_resident_output(bench):
+    """The resident metric's measurement contract: collapse per-epoch
+    prints into windows, drop the compile window, report the best warm
+    rate plus the boundary-I/O and wall figures."""
+    out = (
+        "Device-resident corpus (frames layout): 5,292,000 samples\n"
+        "====> Epoch: 0 - Total loss: 1.0 - Average loss: 0.1 (1,000,000 frames/s)\n"
+        "====> Epoch: 1 - Total loss: 1.0 - Average loss: 0.1 (1,000,000 frames/s)\n"
+        "====> Epoch: 2 - Total loss: 1.0 - Average loss: 0.1 (4,100,000 frames/s)\n"
+        "====> Epoch: 3 - Total loss: 1.0 - Average loss: 0.1 (3,900,000 frames/s)\n"
+        "====> Resident epochs e2e: 4 epochs in 52.10s = 31,000 frames/s "
+        "wall-clock incl. checkpoints (0.62s of that is boundary host I/O)\n"
+    )
+    stats = bench._parse_resident_output(out)
+    # no steady line -> warm-window fallback (compile window dropped)
+    assert stats["value"] == 4100000.0
+    assert stats["steady_e2e"] is None
+    assert stats["windows"] == 3
+    assert stats["warm_window_median"] == 4000000.0
+    assert stats["boundary_io_s"] == 0.62
+    assert stats["wall_s_incl_compile"] == 52.10
+    # with the trainer's steady figure, it is the headline value
+    out += ("====> Resident steady e2e (excl. first-dispatch compile): "
+            "40 epochs in 0.47s = 3,500,000 frames/s\n")
+    stats = bench._parse_resident_output(out)
+    assert stats["value"] == 3500000.0
+    assert stats["steady_e2e"] == 3500000.0
+    assert stats["warm_window_max"] == 4100000.0
+    with pytest.raises(RuntimeError):
+        bench._parse_resident_output("no rates here")

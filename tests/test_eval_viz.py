@@ -69,6 +69,7 @@ def trained_run(tmp_path):
     return ctx.workspace.workdir
 
 
+@pytest.mark.slow
 def test_eval_cli(trained_run, capsys):
     from rawaudiovae_kelsey_tpu.eval.cli import main
 
@@ -81,6 +82,7 @@ def test_eval_cli(trained_run, capsys):
     assert (trained_run / "audio_logs" / "eval_reconstruction.wav").exists()
 
 
+@pytest.mark.slow
 def test_eval_cli_stochastic_differs(trained_run, capsys):
     from rawaudiovae_kelsey_tpu.eval.cli import main
 
@@ -91,6 +93,7 @@ def test_eval_cli_stochastic_differs(trained_run, capsys):
     assert m1["recon_mse"] != m2["recon_mse"]  # different sampling keys
 
 
+@pytest.mark.slow
 def test_profiler_window_capture(tmp_path, trained_run=None):
     """[tpu] profile_steps captures a jax.profiler trace during the epoch
     loop (SURVEY §5.1 — the reference had no profiling at all)."""

@@ -17,6 +17,7 @@ def test_entry_compiles_and_runs():
     assert float(loss) >= 0.0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(capsys):
     graft.dryrun_multichip(8)
     out = capsys.readouterr().out

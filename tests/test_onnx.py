@@ -126,6 +126,7 @@ def test_non_dense_family_rejected(tmp_path):
         export_onnx(model, params, tmp_path / "x.onnx")
 
 
+@pytest.mark.slow
 def test_cli_export_onnx(model_and_params, tmp_path):
     """`python -m rawaudiovae_kelsey_tpu export --onnx` (VERDICT item 5
     done-criterion) produces loadable artifacts."""
@@ -174,6 +175,7 @@ def test_cli_export_onnx(model_and_params, tmp_path):
     assert (tmp_path / "out2" / "rawaudiovae.onnx").exists()
 
 
+@pytest.mark.slow
 def test_cli_export_onnx_rejects_non_dense(tmp_path):
     """--onnx on a non-dense run must exit nonzero with a clear message,
     not silently write nothing."""

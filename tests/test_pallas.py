@@ -314,6 +314,7 @@ def test_conv1d_pallas_parity():
                                    err_msg=f"convT K{K} S{S}")
 
 
+@pytest.mark.slow
 def test_conv1d_pallas_grad_parity():
     """Toeplitz custom-VJP grads (x, w, b) vs XLA autodiff, both conv
     directions, relu epilogue, odd window geometries."""

@@ -99,6 +99,7 @@ def test_deterministic_training_trajectories_match():
     assert j_losses[-1] < j_losses[0] * 0.9
 
 
+@pytest.mark.slow
 def test_long_horizon_training_parity():
     """500 coupled Adam steps at SEG 512 (vs the 60-step toy above) — the
     drift bound a real training run accumulates.  Verdict-r2 item 5's
