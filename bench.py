@@ -13,7 +13,7 @@ driver parses) and whose ``configs`` array carries the full matrix:
 Each entry reports backend, precision, batch, frames/s (or x-realtime),
 and MFU where bf16 peak applies; the dense entry carries the on-device
 pallas-vs-xla loss-parity attestation.  A wall-clock budget
-(``--budget``, default 1500 s) bounds the run: configs that don't fit are
+(``--budget``, default 2400 s) bounds the run: configs that don't fit are
 listed under ``skipped`` — never silently dropped.
 
 ``--single`` restores the one-configuration mode with the original flags:
@@ -567,6 +567,25 @@ MATRIX = [
      "chain": 8, "steps": 3, "timeout": 900},
 ]
 
+# Subprocess grouping (round 4): one subprocess per GROUP, not per config
+# — measured ~2-4 min of fixed cost per subprocess through the axon
+# tunnel (interpreter + jax import + tunnel bring-up + cache-fetch round
+# trips) dwarfs the actual timed windows (seconds).  Groups keep the
+# family-priority order; the resident pair and the giant-batch run are
+# isolated because they are the long/hazardous ones (a lost tunnel RPC
+# kills only their group, and partial group output is salvaged + retried
+# per-config).
+GROUPS = [
+    ["dense_bf16_pallas", "dense_bf16_xla"],
+    ["deep_bf16_xla", "conv1d_bf16_xla", "synth_bf16", "synth_int8"],
+    ["resident_block_direct", "resident_block_e2e"],
+    ["dense_high_pallas", "dense_high_xla",
+     "dense_highest_pallas", "dense_highest_xla", "deep_bf16_pallas"],
+    ["dense_bf16_giant_batch"],
+]
+assert sorted(n for g in GROUPS for n in g) == \
+    sorted(s["name"] for s in MATRIX), "GROUPS out of sync with MATRIX"
+
 
 def _single_cmd(spec, args) -> list:
     cmd = [sys.executable, str(Path(__file__).resolve()), "--single",
@@ -648,16 +667,45 @@ def run_matrix(args) -> None:
                 break
         return None, err
 
-    for spec in MATRIX:
-        if budget_left() <= 0:
-            skipped.append({"name": spec["name"], "reason": "time budget"})
-            continue
+    def run_group_subprocess(names, timeout):
+        """One grouped subprocess; returns {spec_name: result|{'error'}}
+        from whatever JSON lines it printed — on timeout the completed
+        prefix is salvaged from TimeoutExpired's captured output."""
+        cmd = [sys.executable, str(Path(__file__).resolve()),
+               "--group", ",".join(names),
+               "--chain", str(args.chain), "--steps", str(args.steps),
+               "--windows", str(args.windows)]
+        out = ""
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=timeout,
+                                  cwd=Path(__file__).parent)
+            out = proc.stdout or ""
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"")
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+        except Exception:  # noqa: BLE001 — per-config retry covers it
+            out = ""
+        results = {}
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue
+                if "spec" in d:
+                    results[d.pop("spec")] = d
+        return results
+
+    by_name = {s["name"]: s for s in MATRIX}
+
+    def record(spec, sub, err):
         entry = {"name": spec["name"],
                  "backend": spec.get("backend", "pallas"),
                  "precision": spec["precision"],
                  "batch": spec["batch"]}
-        cfg_timeout = spec.get("timeout", args.config_timeout)
-        sub, err = run_json_subprocess(_single_cmd(spec, args), cfg_timeout)
         if sub is None:
             entry["error"] = err
         else:
@@ -675,6 +723,35 @@ def run_matrix(args) -> None:
         configs.append(entry)
         print(f"# {entry}", file=sys.stderr, flush=True)
         checkpoint_side()
+
+    for group in GROUPS:
+        if budget_left() <= 0:
+            skipped.extend({"name": n, "reason": "time budget"}
+                           for n in group)
+            continue
+        specs = [by_name[n] for n in group]
+        # group timeout: fixed bring-up once + per-config timed share;
+        # the per-config fallback below still has each spec's own timeout
+        tmo = min(sum(s.get("timeout", args.config_timeout)
+                      for s in specs),
+                  max(60.0, budget_left()))
+        got = run_group_subprocess(group, tmo)
+        for spec in specs:
+            sub = got.get(spec["name"])
+            if sub is not None and "error" not in sub:
+                record(spec, sub, None)
+                continue
+            # missing or errored inside the group: one isolated retry
+            if budget_left() <= 0:
+                skipped.append({"name": spec["name"],
+                                "reason": "time budget"})
+                continue
+            err0 = (sub or {}).get("error", "missing from group output")
+            sub2, err = run_json_subprocess(
+                _single_cmd(spec, args),
+                spec.get("timeout", args.config_timeout), attempts=1)
+            record(spec, sub2, f"group: {err0}; retry: {err}"
+                   if sub2 is None else None)
 
     # headline candidates: the two batch-4096 dense configs ONLY — the
     # giant-batch entry (startswith would match it) runs a different
@@ -720,14 +797,19 @@ def run_matrix(args) -> None:
     print(json.dumps(result))
 
 
-def run_single(args) -> None:
+def single_result(args) -> dict:
+    """One configuration's result dict (what ``--single`` prints).  Shared
+    by ``run_single`` and the in-process ``--group`` runner — grouping
+    amortizes the fixed per-subprocess cost (interpreter + jax import +
+    axon tunnel bring-up + compile-cache fetch round trips, ~1-3 min each
+    warm) that starved the round-3 matrix."""
     backend = (resolve_best(args.metric, args.precision, args.arch)
                if args.backend == "best" else args.backend)
     if args.metric == "resident":
         stats = bench_resident(args.precision, args.shuffle, args.interval,
                                epochs=args.epochs, backend=args.backend)
         value = stats.pop("value")
-        print(json.dumps({
+        return {
             "metric": "resident_epoch_frames_per_sec",
             "value": round(value, 1),
             "unit": "frames/s",
@@ -738,14 +820,13 @@ def run_single(args) -> None:
             "mfu": (round(value * flops_per_frame("dense") / V5E_BF16_PEAK,
                           3) if args.precision == "bfloat16" else None),
             **stats,
-        }))
-        return
+        }
     if args.metric == "synth":
         rtf, synth_chain = bench_synth(args.batch, args.steps,
                                        args.precision, backend,
                                        quantize=args.quantize,
                                        windows=args.windows)
-        print(json.dumps({
+        return {
             "metric": "realtime_synth_factor",
             "value": round(rtf, 1),
             "unit": "x_realtime",
@@ -754,8 +835,7 @@ def run_single(args) -> None:
             "precision": "int8" if args.quantize else args.precision,
             "batch": args.batch,
             "chain": synth_chain,
-        }))
-        return
+        }
 
     fps = bench_jax(args.arch, args.batch, args.steps, args.precision,
                     backend, microbatch=args.microbatch, chain=args.chain,
@@ -789,7 +869,57 @@ def run_single(args) -> None:
                 }
             except Exception as e:  # noqa: BLE001
                 result["parity"] = {"error": str(e)[:200]}
-    print(json.dumps(result))
+    return result
+
+
+def run_single(args) -> None:
+    print(json.dumps(single_result(args)))
+
+
+def _spec_args(spec: dict, args):
+    """argparse.Namespace for one MATRIX spec — the in-process mirror of
+    ``_single_cmd`` (keep the two in sync)."""
+    import copy
+
+    a = copy.copy(args)
+    a.single = True
+    a.no_torch = True
+    a.no_parity = True
+    a.precision = spec["precision"]
+    a.backend = spec.get("backend", "pallas")
+    a.batch = spec["batch"]
+    a.chain = spec.get("chain", args.chain)
+    a.steps = spec.get("steps", args.steps)
+    a.metric = spec.get("metric", "train")
+    a.quantize = bool(spec.get("quantize"))
+    a.shuffle = spec.get("shuffle", "block")
+    a.interval = spec.get("interval", 20)
+    a.epochs = spec.get("epochs", 60)
+    a.arch = spec.get("arch", "dense")
+    a.microbatch = spec.get("microbatch", 0)
+    return a
+
+
+def run_group(args) -> None:
+    """Run several MATRIX configs sequentially IN ONE PROCESS, one JSON
+    line per config (flushed as each lands, so a killed group still
+    yields its completed prefix to the parent).  Sharing the process
+    amortizes interpreter + jax import + axon tunnel bring-up across the
+    group — the fixed cost that made round 3's one-subprocess-per-config
+    matrix starve its own budget."""
+    by_name = {s["name"]: s for s in MATRIX}
+    for name in args.group.split(","):
+        spec = by_name.get(name)
+        if spec is None:
+            print(json.dumps({"spec": name, "error": "unknown config"}),
+                  flush=True)
+            continue
+        try:
+            res = single_result(_spec_args(spec, args))
+            print(json.dumps({"spec": name, **res}), flush=True)
+        except Exception as e:  # noqa: BLE001 — next config still runs
+            print(json.dumps({"spec": name, "error": str(e)[:300]}),
+                  flush=True)
 
 
 def main() -> None:
@@ -808,6 +938,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--single", action="store_true",
                     help="one configuration instead of the default matrix")
+    ap.add_argument("--group", type=str, default="",
+                    help="comma-separated MATRIX config names to run "
+                         "sequentially in THIS process, one JSON line "
+                         "each (run_matrix's amortized subprocess unit)")
     ap.add_argument("--parity-only", action="store_true",
                     help="print the pallas-vs-xla loss-delta JSON and exit "
                          "(run_matrix's subprocess-isolated attestation)")
@@ -839,7 +973,7 @@ def main() -> None:
                          "(0 = boundary-free 'direct' run)")
     ap.add_argument("--epochs", type=int, default=60,
                     help="resident metric: epochs over the synthetic corpus")
-    ap.add_argument("--budget", type=float, default=1500.0,
+    ap.add_argument("--budget", type=float, default=2400.0,
                     help="matrix mode: wall-clock budget in seconds")
     ap.add_argument("--config-timeout", type=float, default=420.0,
                     help="matrix mode: hard per-config subprocess timeout")
@@ -849,6 +983,9 @@ def main() -> None:
             "pallas_vs_xla_loss_delta": parity_check(args.batch,
                                                      args.precision),
         }))
+        return
+    if args.group:
+        run_group(args)
         return
     # any targeting flag implies single-config mode — `bench.py --backend
     # pallas` should measure that config, not the whole matrix

@@ -98,6 +98,44 @@ def test_matrix_covers_baseline_configs(bench):
         assert needle in names, needle
 
 
+def test_groups_partition_matrix(bench):
+    """run_matrix's grouped subprocesses must cover every MATRIX config
+    exactly once (the import-time assert guards this too; pin it as a
+    test so a failure names the drift instead of breaking import)."""
+    flat = [n for g in bench.GROUPS for n in g]
+    assert sorted(flat) == sorted(s["name"] for s in bench.MATRIX)
+    assert len(flat) == len(set(flat))
+
+
+def test_spec_args_mirror_single_cmd(bench):
+    """--group's in-process Namespace must encode the same configuration
+    _single_cmd passes on the CLI (the two paths measure the same spec)."""
+    import argparse
+
+    base = argparse.Namespace(chain=100, steps=10, windows=3)
+    for spec in bench.MATRIX:
+        a = bench._spec_args(spec, base)
+        cmd = bench._single_cmd(spec, base)
+        assert a.precision == spec["precision"]
+        assert a.backend == spec.get("backend", "pallas")
+        assert a.batch == spec["batch"]
+        assert a.chain == spec.get("chain", 100)
+        assert a.steps == spec.get("steps", 10)
+        assert a.no_torch and a.no_parity
+        assert str(a.batch) in cmd and a.precision in cmd
+        if spec.get("metric") == "resident":
+            assert a.metric == "resident"
+            assert a.interval == spec.get("interval", 20)
+            assert a.epochs == spec.get("epochs", 60)
+            assert a.shuffle == spec.get("shuffle", "block")
+        elif spec.get("metric") == "synth":
+            assert a.metric == "synth"
+            assert a.quantize == bool(spec.get("quantize"))
+        else:
+            assert a.arch == spec["arch"]
+            assert a.microbatch == spec.get("microbatch", 0)
+
+
 def test_flops_per_frame_positive(bench):
     for arch in ("dense", "deep", "conv1d"):
         assert bench.flops_per_frame(arch) > 1e6
