@@ -131,11 +131,14 @@ def main() -> None:
 
     with HttpInferenceServer(model, params, sampling_rate=SR, port=0,
                              batch_size=args.batch_size,
-                             quantize=args.quantize) as srv:
+                             quantize=args.quantize, warmup=True) as srv:
         srv.backend.max_wait_s = args.max_wait_ms / 1e3
         port = srv.port
 
-        # Warmup: compile every kind this run exercises and fetch real bytes.
+        # Warmup request: exercise the HTTP layer end-to-end and fetch real
+        # bytes (the jit compiles already ran in the server's warmup —
+        # without it, a slow tunnel hour pushed the first reconstruct
+        # compile past the 120 s request timeout and this 504'd).
         status, data = _post(port, path, body)
         if status != 200:
             print(json.dumps({"error": f"warmup failed: {status} "

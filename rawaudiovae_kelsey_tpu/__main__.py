@@ -65,6 +65,11 @@ def main() -> None:
         ap.add_argument("--batch-size", type=int, default=256)
         ap.add_argument("--deterministic", action="store_true")
         ap.add_argument("--quantize", action="store_true")
+        # the coalesced-batch compiles take ~100 s on a slow tunnel hour —
+        # past the 120 s request timeout; production serving compiles them
+        # before accepting traffic (the first request would 504 otherwise)
+        ap.add_argument("--no-warmup", action="store_true",
+                        help="skip compiling the batched paths at startup")
         args = ap.parse_args(rest)
         cfg = load_config(args.config or args.run / "config.ini")
         model = build_model(cfg)
@@ -76,6 +81,7 @@ def main() -> None:
             model, params, sampling_rate=cfg.audio.sampling_rate,
             host=args.host, port=args.port, batch_size=args.batch_size,
             deterministic=args.deterministic, quantize=args.quantize,
+            warmup=not args.no_warmup,
         ).serve_forever()
     elif cmd == "som":
         import argparse

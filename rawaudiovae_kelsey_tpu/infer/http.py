@@ -228,11 +228,16 @@ class HttpInferenceServer:
     def __init__(self, model, params, sampling_rate: int = 44100,
                  host: str = "127.0.0.1", port: int = 8422,
                  batch_size: int = 256, deterministic: bool = False,
-                 quantize: bool = False):
+                 quantize: bool = False, warmup: bool = False):
         self.backend = InferenceServer(
             model, params, batch_size=batch_size,
             deterministic=deterministic, quantize=quantize,
         )
+        # warmup=True compiles the batched paths before serving begins —
+        # the port is already bound, so early clients queue in the listen
+        # backlog instead of being refused.  Off by default: CPU tests pay
+        # three needless compiles otherwise.
+        self._warmup = warmup
         handler = type("BoundHandler", (_Handler,), {
             "backend": self.backend,
             "sampling_rate": sampling_rate,
@@ -243,6 +248,8 @@ class HttpInferenceServer:
 
     def start(self) -> "HttpInferenceServer":
         self.backend.start()
+        if self._warmup:
+            self.backend.warmup()
         self._thread = threading.Thread(
             target=self.httpd.serve_forever, daemon=True
         )
@@ -264,6 +271,10 @@ class HttpInferenceServer:
 
     def serve_forever(self) -> None:
         self.backend.start()  # idempotent — safe after __enter__/start()
+        if self._warmup and (self._thread is None
+                             or not self._thread.is_alive()):
+            print("warming up (compiling batched inference paths)...")
+            self.backend.warmup()
         print(f"serving on http://{self.httpd.server_address[0]}:{self.port}")
         try:
             if self._thread is not None and self._thread.is_alive():

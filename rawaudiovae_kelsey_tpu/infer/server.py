@@ -98,6 +98,25 @@ class InferenceServer:
             self._thread.start()
         return self
 
+    def warmup(self) -> "InferenceServer":
+        """Compile the three batched paths at their coalesced shapes so the
+        first real request doesn't absorb the jit compiles (measured ~108 s
+        for the reconstruct path through the axon tunnel at batch 256 —
+        past the HTTP layer's 120 s request timeout on a slow hour).
+        Values are fetched (not just dispatched): through the tunnel,
+        compilation is asynchronous and dispatch can return first.  The
+        RNG tick is NOT consumed — the warmup reconstruct uses fold_in(key,
+        0), which no real batch uses (ticks start at 1), so served noise
+        sequences are identical with and without warmup."""
+        seg = self.model.segment_length
+        x = jnp.zeros((self.batch_size, seg), jnp.float32)
+        z = jnp.zeros((self.batch_size, self.model.latent_dim), jnp.float32)
+        mu, logvar = self._encode(x)
+        np.asarray(mu), np.asarray(logvar)
+        np.asarray(self._decode(z))
+        np.asarray(self._reconstruct(jax.random.fold_in(self._key, 0), x))
+        return self
+
     def stop(self) -> None:
         self._stop.set()
         if self._thread is not None:

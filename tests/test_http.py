@@ -386,3 +386,27 @@ def test_stream_content_length_exact(server):
     assert len(data) == declared
     out, sr = _wav_from_bytes(data)
     assert sr == 44100 and out.shape == (SEG * 5,)
+
+
+def test_warmup_compiles_and_preserves_noise_stream():
+    """warmup=True pre-compiles the batched paths without consuming an RNG
+    tick: a STOCHASTIC reconstruct must return byte-identical audio from a
+    warmed and an unwarmed server (same seed) — the warmup pass uses
+    fold_in(key, 0), which no real batch uses."""
+    cfg = Config()
+    cfg.audio.segment_length = SEG
+    cfg.audio.hop_length = 64
+    cfg.vae.n_units = 64
+    cfg.vae.latent_dim = LATENT
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    wave, body = _wav_body(SEG * 3, seed=11)
+    outs = []
+    for warm in (False, True):
+        with HttpInferenceServer(model, params, sampling_rate=44100,
+                                 port=0, batch_size=16,
+                                 warmup=warm) as srv:
+            status, ctype, data = _post(srv.port, "/reconstruct", body)
+            assert status == 200, data
+            outs.append(data)
+    assert outs[0] == outs[1]
