@@ -329,14 +329,23 @@ def _parse_resident_output(out: str) -> dict:
 
     import numpy as np
 
-    rates = [float(m.replace(",", ""))
-             for m in re.findall(r"\(([\d,]+) frames/s\)", out)]
-    if not rates:
-        raise RuntimeError("no drain-window rates in trainer output:\n"
-                           + out[-500:])
-    # epochs drained in one window all print the same rate — collapse
-    # consecutive repeats to per-window values, drop the compile window
-    wins = [r for i, r in enumerate(rates) if i == 0 or rates[i - 1] != r]
+    # the trainer emits one "[drain]" line per drain window — exact window
+    # boundaries, immune to two adjacent windows rounding to the same rate
+    drain_rates = [float(m.replace(",", "")) for m in re.findall(
+        r"\[drain\] \d+ epochs in [\d.]+s = ([\d,]+) frames/s", out)]
+    if drain_rates:
+        wins = drain_rates
+    else:
+        # fallback for outputs without drain markers: epochs drained in one
+        # window all print the same rate — collapse consecutive repeats
+        rates = [float(m.replace(",", ""))
+                 for m in re.findall(r"\(([\d,]+) frames/s\)", out)]
+        if not rates:
+            raise RuntimeError("no drain-window rates in trainer output:\n"
+                               + out[-500:])
+        wins = [r for i, r in enumerate(rates)
+                if i == 0 or rates[i - 1] != r]
+    # drop the compile window (the first drain absorbs the jit compile)
     warm = wins[1:] or wins
     steady_m = re.search(
         r"steady e2e \(excl\. first-dispatch compile\): \d+ epochs in "
@@ -711,6 +720,17 @@ def run_matrix(args) -> None:
         else:
             entry.update(metric=sub["metric"], value=sub["value"],
                          unit=sub["unit"], chain=sub.get("chain"))
+            # resident entries carry their own diagnostics — without the
+            # boundary-I/O breakdown and link-bound note, the e2e row
+            # reads as a 15x regression next to the direct row instead of
+            # a tunnel-drain figure (exactly the misreading the fields
+            # were added to prevent)
+            for k in ("steady_e2e", "warm_window_max", "warm_window_median",
+                      "windows", "boundary_io_s", "wall_s_incl_compile",
+                      "epochs", "shuffle", "checkpoint_interval", "note",
+                      "mfu"):
+                if sub.get(k) is not None:
+                    entry[k] = sub[k]
             if spec.get("quantize"):
                 entry["precision"] = "int8"
             if "microbatch" in spec:

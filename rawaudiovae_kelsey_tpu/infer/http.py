@@ -116,10 +116,20 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", "audio/wav")
         self.send_header("Content-Length", str(len(header) + 4 * total))
         self.end_headers()
-        self.wfile.write(header)
-        for piece in gen:
-            self.wfile.write(encode_wav_payload(piece))
-            self.wfile.flush()
+        # Past this point the 200 + Content-Length are on the wire: letting
+        # an exception reach do_POST's handlers would write a SECOND status
+        # line + JSON into the declared body (the client decodes it as
+        # audio).  Truncate instead — close the connection so the short
+        # read against the declared length is the error signal.
+        try:
+            self.wfile.write(header)
+            for piece in gen:
+                self.wfile.write(encode_wav_payload(piece))
+                self.wfile.flush()
+        except Exception as e:  # noqa: BLE001 — headers already sent
+            self.close_connection = True
+            self.log_error("mid-stream failure (truncating): %s",
+                           str(e) or type(e).__name__)
 
     # ------------------------------------------------------------ handlers --
     def do_GET(self):  # noqa: N802 (http.server API)

@@ -456,9 +456,14 @@ class OnnxModel:
                     a = a.T
                 if node.attrs.get("transB"):
                     b = b.T
-                out = float(node.attrs.get("alpha") or 1.0) * (a @ b)
+                # spec defaults are 1.0, but an EXPLICIT 0.0 must zero the
+                # term (`or` would coerce it back to 1.0)
+                alpha = node.attrs.get("alpha")
+                beta = node.attrs.get("beta")
+                out = (1.0 if alpha is None else float(alpha)) * (a @ b)
                 if len(ins) > 2:
-                    out = out + float(node.attrs.get("beta") or 1.0) * ins[2]
+                    out = out + (1.0 if beta is None
+                                 else float(beta)) * ins[2]
             elif op == "Constant":
                 out = node.attrs["value"]
             elif op == "RandomNormalLike":

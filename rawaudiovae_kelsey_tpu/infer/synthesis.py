@@ -81,6 +81,15 @@ class OverlapAddStream:
         if len(frames) == 0:
             return np.zeros(0, np.float32)
         n, seg = frames.shape
+        if self.hop > seg:
+            # emit = n*hop would overrun the (n-1)*hop+seg buffer (numpy
+            # clamps the slice silently → short, non-matching audio) and
+            # the trailing gap after the LAST frame must not be emitted at
+            # all; gapped layouts need the one-shot path
+            raise ValueError(
+                f"OverlapAddStream requires hop <= segment length; got "
+                f"hop={self.hop}, segment={seg} — use overlap_add() for "
+                f"gapped (hop > segment) layouts")
         win = _make_window(seg, self.hop, self.window)
         length = (n - 1) * self.hop + seg
         out = np.zeros(length, np.float64)

@@ -475,6 +475,12 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 )
                 ctx.writer.add_scalar("Loss/train_total", train_loss, ep)
                 ctx.writer.add_scalar("Loss/train_average", avg, ep)
+        # one machine-readable line per drain: bench._parse_resident_output
+        # reads windows from these exactly — inferring windows from
+        # consecutive-equal per-epoch rates merges two windows whose
+        # rounded rates happen to collide
+        print(f"[drain] {n_done} epochs in {window_s:.3f}s = "
+              f"{rate:,.0f} frames/s")
         ctx.timer.start()
 
     hist_every = cfg.tpu.histogram_interval
@@ -546,9 +552,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             # pay a fresh fetch round trip per pending group
             L.prefetch_host(dev_losses)
             if steady_t0 is None:
-                # the block is free: the first dispatch's compile already
-                # gates everything behind it
-                jax.block_until_ready(dev_losses)
+                # the wait is free: the first dispatch's compile already
+                # gates everything behind it.  Fetch a REAL value, not just
+                # block_until_ready — through the axon tunnel the async
+                # compile can outlive the block (the repo timing rule),
+                # which would stamp steady_t0 early and silently absorb
+                # compile time into the "steady e2e" window.  The loss
+                # matrix shard is tiny (k x n_batches floats).
+                np.asarray(jax.device_get(
+                    dev_losses.addressable_shards[0].data))
                 steady_t0 = time.perf_counter()
                 steady_done = last + 1 - start_epoch
             if profiling:

@@ -171,3 +171,23 @@ def test_parse_resident_output(bench):
     assert stats["warm_window_max"] == 4100000.0
     with pytest.raises(RuntimeError):
         bench._parse_resident_output("no rates here")
+
+
+def test_parse_resident_output_drain_markers(bench):
+    """With the trainer's per-drain marker lines, windows come from the
+    markers EXACTLY — two adjacent windows that round to the same rate must
+    not merge (the per-epoch consecutive-equal heuristic would)."""
+    out = (
+        "====> Epoch: 0 - Total loss: 1.0 - Average loss: 0.1 (2,000,000 frames/s)\n"
+        "[drain] 1 epochs in 0.500s = 2,000,000 frames/s\n"
+        "====> Epoch: 1 - Total loss: 1.0 - Average loss: 0.1 (4,000,000 frames/s)\n"
+        "[drain] 1 epochs in 0.250s = 4,000,000 frames/s\n"
+        "====> Epoch: 2 - Total loss: 1.0 - Average loss: 0.1 (4,000,000 frames/s)\n"
+        "[drain] 1 epochs in 0.250s = 4,000,000 frames/s\n"
+        "====> Resident epochs e2e: 3 epochs in 1.20s = 2,500,000 frames/s "
+        "wall-clock incl. checkpoints (0.10s of that is boundary host I/O)\n"
+    )
+    stats = bench._parse_resident_output(out)
+    assert stats["windows"] == 3          # heuristic would collapse to 2
+    assert stats["warm_window_median"] == 4000000.0
+    assert stats["value"] == 4000000.0

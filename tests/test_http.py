@@ -410,3 +410,40 @@ def test_warmup_compiles_and_preserves_noise_stream():
             assert status == 200, data
             outs.append(data)
     assert outs[0] == outs[1]
+
+
+def test_stream_midway_failure_truncates_not_corrupts(server):
+    """Once the 200 + Content-Length are on the wire, a mid-stream failure
+    must only TRUNCATE the body (client detects the short read) — never
+    append a second status line / JSON error that the client would decode
+    as audio."""
+    real = server.backend.reconstruct_stream
+
+    def broken(wave, **kw):
+        n, gen = real(wave, **kw)
+
+        def poisoned():
+            yield next(gen)
+            raise RuntimeError("chunk lost mid-stream")
+
+        return n, poisoned()
+
+    wave, body = _wav_body(SEG * 6, seed=3)
+    server.backend.reconstruct_stream = broken
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=120)
+        conn.request("POST", "/reconstruct?stream=1&chunk=2", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        declared = int(resp.getheader("Content-Length"))
+        try:
+            data = resp.read()
+        except http.client.IncompleteRead as e:
+            data = e.partial
+        conn.close()
+    finally:
+        server.backend.reconstruct_stream = real
+    assert len(data) < declared          # truncated ...
+    assert b"HTTP/1.0" not in data       # ... with no embedded status line
+    assert b'{"error"' not in data       # ... and no JSON error payload

@@ -442,3 +442,19 @@ def test_server_reconstruct_stream_matches_whole(model_and_params):
         n, gen = srv.reconstruct_stream(audio, hop=64, ola=True,
                                         chunk_frames=5, timeout=120)
         np.testing.assert_array_equal(np.concatenate(list(gen)), whole_ola)
+
+
+def test_overlap_add_stream_rejects_gapped_hop():
+    """hop > segment would make add() emit n*hop samples from an
+    (n-1)*hop+seg buffer (numpy clamps the slice silently -> short,
+    non-matching audio) — the stream refuses gapped layouts loudly."""
+    from rawaudiovae_kelsey_tpu.infer.synthesis import OverlapAddStream
+
+    frames = np.zeros((3, 64), np.float32)
+    stream = OverlapAddStream(hop=128)
+    with pytest.raises(ValueError, match="hop <= segment"):
+        stream.add(frames)
+    # hop == segment is the valid non-overlapping boundary
+    stream = OverlapAddStream(hop=64)
+    got = np.concatenate([stream.add(frames), stream.finish()])
+    assert got.shape == (3 * 64,)

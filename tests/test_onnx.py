@@ -446,3 +446,38 @@ def test_onnx_seed_attr_honored(model_and_params, tmp_path):
     # caller-injected rng still wins over the embedded seed
     oc = m7.run(feeds, rng=np.random.default_rng(8))[k]
     assert not np.array_equal(o7, oc)
+
+
+def test_gemm_explicit_zero_alpha_beta():
+    """Gemm's alpha/beta default to 1.0 when ABSENT, but an explicit 0.0
+    must zero its term — a falsy-zero `or 1.0` would silently re-add the
+    bias (the standard exporter encoding for 'no C contribution' is
+    beta=0 with a C input)."""
+    from rawaudiovae_kelsey_tpu.infer.onnx_model import OnnxModel, _Node
+
+    def gemm_model(attrs):
+        node = _Node(b"")
+        node.op_type = "Gemm"
+        node.inputs = ["x", "w", "c"]
+        node.outputs = ["y"]
+        node.attrs = dict(attrs)
+        m = OnnxModel.__new__(OnnxModel)
+        m.nodes = [node]
+        m.initializers = {
+            "w": np.eye(3, dtype=np.float32),
+            "c": np.full((1, 3), 7.0, np.float32),
+        }
+        m.inputs, m.outputs = ["x"], ["y"]
+        return m
+
+    x = np.arange(3, dtype=np.float32).reshape(1, 3)
+    # absent attrs -> spec defaults (1.0, 1.0)
+    y = gemm_model({}).run({"x": x})["y"]
+    np.testing.assert_allclose(y, x + 7.0)
+    # explicit zeros must zero their terms
+    y = gemm_model({"beta": 0.0}).run({"x": x})["y"]
+    np.testing.assert_allclose(y, x)
+    y = gemm_model({"alpha": 0.0}).run({"x": x})["y"]
+    np.testing.assert_allclose(y, np.full((1, 3), 7.0))
+    y = gemm_model({"alpha": 0.0, "beta": 0.0}).run({"x": x})["y"]
+    np.testing.assert_allclose(y, np.zeros((1, 3)))
