@@ -345,23 +345,46 @@ def _parse_resident_output(out: str) -> dict:
                                + out[-500:])
         wins = [r for i, r in enumerate(rates)
                 if i == 0 or rates[i - 1] != r]
-    # drop the compile window (the first drain absorbs the jit compile)
-    warm = wins[1:] or wins
+    # drop the compile window (the first drain absorbs the jit compile).
+    # With only ONE window there is no warm window at all — the sole
+    # window includes the jit compile, so a whole-wall rate would be
+    # meaningless; report None rather than a compile-polluted figure.
+    warm = wins[1:]
     steady_m = re.search(
         r"steady e2e \(excl\. first-dispatch compile\): \d+ epochs in "
         r"[\d.]+s = ([\d,]+) frames/s", out)
     io_m = re.search(r"\(([\d.]+)s of that is boundary host I/O\)", out)
-    wall_m = re.search(r"(\d+) epochs in ([\d.]+)s = ([\d,]+) frames/s", out)
+    # ANCHORED to the trainer's total line — an unanchored "N epochs in
+    # Xs" matched the first [drain] window instead and round 4's matrix
+    # recorded wall_s_incl_compile 2.13 s < boundary_io_s 2.76 s
+    # (internally impossible; VERDICT r4 weak #2)
+    wall_m = re.search(
+        r"Resident epochs e2e: (\d+) epochs in ([\d.]+)s", out)
+    # drain-link meter (trainer's [boundary-link] line): measured
+    # device→host bandwidth during state drains, so a reader can tell a
+    # device regression from link weather in the artifact itself
+    link_m = re.search(
+        r"\[boundary-link\] ([\d.]+) MB of state drained in [\d.]+s = "
+        r"([\d.]+) MB/s", out)
+    # link-normalized projection: the steady window with on-loop boundary
+    # wall subtracted (on local PCIe the two figures converge)
+    ex_m = re.search(
+        r"steady e2e ex-boundary-I/O: \d+ epochs in [\d.]+s = "
+        r"([\d,]+) frames/s", out)
     steady = (float(steady_m.group(1).replace(",", ""))
               if steady_m else None)
     return {
-        "value": steady if steady is not None else max(warm),
+        "value": steady if steady is not None else max(wins),
         "steady_e2e": steady,
-        "warm_window_max": max(warm),
+        "warm_window_max": max(warm) if warm else None,
         "windows": len(wins),
-        "warm_window_median": float(np.median(warm)),
+        "warm_window_median": float(np.median(warm)) if warm else None,
         "boundary_io_s": float(io_m.group(1)) if io_m else None,
         "wall_s_incl_compile": float(wall_m.group(2)) if wall_m else None,
+        "drained_MB": float(link_m.group(1)) if link_m else None,
+        "link_MBps": float(link_m.group(2)) if link_m else None,
+        "steady_e2e_ex_io": (float(ex_m.group(1).replace(",", ""))
+                             if ex_m else None),
     }
 
 
@@ -561,6 +584,14 @@ MATRIX = [
     # deep pallas pairing (keeps the deep backend=xla default evidenced)
     {"name": "deep_bf16_pallas", "arch": "deep", "batch": 4096,
      "precision": "bfloat16", "backend": "pallas", "steps": 5},
+    # conv1d at batch 8192 (VERDICT r4 item 7): do the bandwidth-bound
+    # boundary layers amortize at larger batch, the way the dense family
+    # gained at larger µbatch tiles?  Per-layer roofline says no (the
+    # boundary convs are bandwidth-bound per FRAME, and batch scales
+    # bytes with FLOPs) — this row replaces that prediction with a
+    # measurement.
+    {"name": "conv1d_bf16_xla_8192", "arch": "conv1d", "batch": 8192,
+     "precision": "bfloat16", "backend": "xla", "steps": 5},
     # giant batch: pallas.  An early round-3 pair read "pallas 4.11 M vs
     # xla 4.63 M — the scan overlaps better under XLA"; re-paired on a
     # healthy link the verdict flipped (same-session: pallas 4.83 M @
@@ -589,7 +620,8 @@ GROUPS = [
     ["deep_bf16_xla", "conv1d_bf16_xla", "synth_bf16", "synth_int8"],
     ["resident_block_direct", "resident_block_e2e"],
     ["dense_high_pallas", "dense_high_xla",
-     "dense_highest_pallas", "dense_highest_xla", "deep_bf16_pallas"],
+     "dense_highest_pallas", "dense_highest_xla", "deep_bf16_pallas",
+     "conv1d_bf16_xla_8192"],
     ["dense_bf16_giant_batch"],
 ]
 assert sorted(n for g in GROUPS for n in g) == \
@@ -632,14 +664,51 @@ def run_matrix(args) -> None:
     configs, skipped = [], []
     side = Path(__file__).parent / "BENCH_MATRIX.json"
 
+    def assemble(parity=None, partial=False):
+        """One result shape for BOTH the incremental checkpoint and the
+        final artifact (round-4 advisor finding: the committed matrix was
+        a mid-run checkpoint in a different format, dropping the headline
+        fields and the parity attestation)."""
+        dense = [c for c in configs
+                 if c.get("metric") == "train_frames_per_sec"
+                 and c["name"] in ("dense_bf16_pallas", "dense_bf16_xla")
+                 and "value" in c]
+        headline = max(dense, key=lambda c: c["value"]) if dense else None
+        # mid-run checkpoints only read the cached torch figure (cheap);
+        # the final call may measure
+        baseline = torch_baseline(
+            4096, skip_measure=(partial or args.no_torch))
+        result = {
+            "metric": "train_frames_per_sec",
+            "value": headline["value"] if headline else None,
+            "unit": "frames/s",
+            "vs_baseline": (round(headline["value"] / baseline, 2)
+                            if headline and baseline else None),
+            "backend": headline["backend"] if headline else None,
+            "precision": headline["precision"] if headline else None,
+            "batch": headline["batch"] if headline else None,
+            "chain": headline.get("chain") if headline else None,
+            "mfu": headline.get("mfu") if headline else None,
+            "headline_config": headline["name"] if headline else None,
+            "torch_cpu_frames_per_sec": baseline,
+            "elapsed_s": round(time.monotonic() - t0, 1),
+            "configs": configs,
+        }
+        if partial:
+            result["partial"] = True
+        if skipped:
+            result["skipped"] = skipped
+        if parity is not None:
+            result["parity"] = parity
+        return result
+
     def checkpoint_side():
         # incremental side-file: if the caller's timeout kills this run,
         # the measured prefix survives (and the repo carries the last
-        # full matrix regardless of the driver's parser)
+        # full matrix regardless of the driver's parser) — SAME shape as
+        # the final artifact, marked "partial"
         try:
-            side.write_text(json.dumps(
-                {"configs": configs, "skipped": skipped,
-                 "elapsed_s": round(time.monotonic() - t0, 1)}, indent=1))
+            side.write_text(json.dumps(assemble(partial=True), indent=1))
         except OSError:
             pass
 
@@ -725,8 +794,9 @@ def run_matrix(args) -> None:
             # reads as a 15x regression next to the direct row instead of
             # a tunnel-drain figure (exactly the misreading the fields
             # were added to prevent)
-            for k in ("steady_e2e", "warm_window_max", "warm_window_median",
-                      "windows", "boundary_io_s", "wall_s_incl_compile",
+            for k in ("steady_e2e", "steady_e2e_ex_io", "warm_window_max",
+                      "warm_window_median", "windows", "boundary_io_s",
+                      "wall_s_incl_compile", "drained_MB", "link_MBps",
                       "epochs", "shuffle", "checkpoint_interval", "note",
                       "mfu"):
                 if sub.get(k) is not None:
@@ -773,34 +843,7 @@ def run_matrix(args) -> None:
             record(spec, sub2, f"group: {err0}; retry: {err}"
                    if sub2 is None else None)
 
-    # headline candidates: the two batch-4096 dense configs ONLY — the
-    # giant-batch entry (startswith would match it) runs a different
-    # chain/microbatch context and its vs_baseline denominator is the
-    # batch-4096 torch number
-    dense = [c for c in configs
-             if c.get("metric") == "train_frames_per_sec"
-             and c["name"] in ("dense_bf16_pallas", "dense_bf16_xla")
-             and "value" in c]
-    headline = max(dense, key=lambda c: c["value"]) if dense else None
-    baseline = torch_baseline(4096, skip_measure=args.no_torch)
-
-    result = {
-        "metric": "train_frames_per_sec",
-        "value": headline["value"] if headline else None,
-        "unit": "frames/s",
-        "vs_baseline": (round(headline["value"] / baseline, 2)
-                        if headline and baseline else None),
-        "backend": headline["backend"] if headline else None,
-        "precision": headline["precision"] if headline else None,
-        "batch": headline["batch"] if headline else None,
-        "chain": headline.get("chain") if headline else None,
-        "mfu": headline.get("mfu") if headline else None,
-        "headline_config": headline["name"] if headline else None,
-        "torch_cpu_frames_per_sec": baseline,
-        "configs": configs,
-    }
-    if skipped:
-        result["skipped"] = skipped
+    parity = None
     if not args.no_parity:
         # subprocess + timeout like every other device-touching stage: a
         # lost tunnel RPC in an in-process parity_check would hang the
@@ -809,12 +852,38 @@ def run_matrix(args) -> None:
         parity_cmd = [sys.executable, str(Path(__file__).resolve()),
                       "--parity-only"]
         parity, err = run_json_subprocess(parity_cmd, args.config_timeout)
-        result["parity"] = parity if parity is not None else {"error": err}
+        if parity is None:
+            parity = {"error": err}
+    # headline candidates: the two batch-4096 dense configs ONLY — the
+    # giant-batch entry (startswith would match it) runs a different
+    # chain/microbatch context and its vs_baseline denominator is the
+    # batch-4096 torch number (see assemble)
+    result = assemble(parity=parity)
     try:
         side.write_text(json.dumps(result, indent=1))
     except OSError:
         pass
     print(json.dumps(result))
+    # Compact trailing summary — the LAST stdout line, < ~1 KB.  The
+    # driver captures a bounded tail of stdout: round 4's full-matrix
+    # line outgrew that window and the official record lost the headline
+    # (BENCH_r04.json parsed: null).  This line always fits, repeats the
+    # headline fields, and summarizes each config as name: value so the
+    # artifact is self-contained; the full matrix lives one line up and
+    # in BENCH_MATRIX.json.
+    compact = {k: result.get(k) for k in (
+        "metric", "value", "unit", "vs_baseline", "backend", "precision",
+        "batch", "mfu", "headline_config", "torch_cpu_frames_per_sec",
+        "elapsed_s")}
+    if isinstance(parity, dict):
+        compact["parity_loss_delta"] = parity.get("pallas_vs_xla_loss_delta")
+    compact["configs_summary"] = {
+        c["name"]: (c["value"] if "value" in c else "error")
+        for c in configs}
+    if skipped:
+        compact["n_skipped"] = len(skipped)
+    compact["full_matrix"] = "BENCH_MATRIX.json"
+    print(json.dumps(compact))
 
 
 def single_result(args) -> dict:

@@ -524,6 +524,22 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
     total_t0 = time.perf_counter()
     io_s = 0.0  # host wall spent in boundary actions (hist/ckpt/best I/O)
+    # boundary-drain link meter: [bytes, seconds] of device→host state
+    # fetches at checkpoint boundaries.  bytes/seconds is the measured
+    # drain bandwidth — through the axon tunnel it reads the ~18 MB/s hop,
+    # on local PCIe the GB/s bus — so a reader of the summary can tell a
+    # device regression from link weather without external context.  The
+    # async worker mutates it; the end-of-run reads happen after flush().
+    link_acc = [0.0, 0.0]
+
+    def _meter_drain(tree, t0: float) -> None:
+        if tree is None:
+            return
+        link_acc[0] += sum(
+            a.nbytes for a in jax.tree_util.tree_leaves(tree)
+            if hasattr(a, "nbytes"))
+        link_acc[1] += time.perf_counter() - t0
+
     # steady-state marker: set right after the FIRST group finishes (that
     # group's dispatch carries the jit compile, ~50-140 s through the
     # tunnel), so the summary can report a compile-excluded e2e rate —
@@ -642,9 +658,11 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # seconds per boundary through the host link).  The identical
         # (hist_fires or ckpt_fires) predicate on every process keeps any
         # collective fallback paths aligned.
+        _ft0 = time.perf_counter()
         host, host_p = (L.boundary_host_state(ctx)
                         if (hist_fires or ckpt_fires) and not use_async
                         else (None, None))
+        _meter_drain(host if host is not None else host_p, _ft0)
         try:
             if hist_fires and not use_async:
                 L.log_param_histograms(ctx, epoch, params=host_p)
@@ -697,7 +715,9 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 # flush — interrupt or end of run)
                 def boundary_io(bs=ctx.state, ep=epoch, tl=train_loss,
                                 hist=hist_fires, ck=ckpt_fires):
+                    ft0 = time.perf_counter()
                     h = L.fetch_host_state(bs)
+                    _meter_drain(h, ft0)
                     hp = None if h is None else h.params
                     if hist or (ck and not hist_every):
                         L.log_param_histograms(ctx, ep, params=hp)
@@ -749,6 +769,16 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
               f"{done * n_batches * batch_size / max(wall, 1e-9):,.0f} "
               f"frames/s wall-clock incl. checkpoints "
               f"({io_s:.2f}s of that is boundary host I/O)")
+        if link_acc[1] > 0:
+            # measured drain bandwidth — lets a reader of the bench
+            # artifact tell device regression from link weather (the
+            # fetch can overlap the dispatched-ahead group's compute, so
+            # this is a lower bound on the raw link rate when the drain
+            # wasn't the bottleneck — exactly the case where it doesn't
+            # matter)
+            mb = link_acc[0] / 1e6
+            print(f"[boundary-link] {mb:.1f} MB of state drained in "
+                  f"{link_acc[1]:.2f}s = {mb / link_acc[1]:.1f} MB/s")
         if steady_t0 is not None and done > steady_done:
             # the long-run figure: everything after the first group (whose
             # dispatch carries the one-time jit compile), checkpoints and
@@ -758,6 +788,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             print(f"====> Resident steady e2e (excl. first-dispatch "
                   f"compile): {sd} epochs in {sw:.2f}s = "
                   f"{sd * n_batches * batch_size / sw:,.0f} frames/s")
+            if io_s > 0:
+                # link-normalized projection: the same window with the
+                # on-loop boundary wall (state drains + checkpoint waits —
+                # a link property, not a device one) subtracted; on local
+                # PCIe the two figures converge
+                ex = max(sw - io_s, 1e-9)
+                print(f"====> Resident steady e2e ex-boundary-I/O: {sd} "
+                      f"epochs in {ex:.2f}s = "
+                      f"{sd * n_batches * batch_size / ex:,.0f} frames/s")
 
     final_epoch = max(epochs - 1, 0)
     print(f"Last Checkpoint - Epoch {final_epoch}")

@@ -173,6 +173,71 @@ def test_parse_resident_output(bench):
         bench._parse_resident_output("no rates here")
 
 
+def test_parse_resident_output_wall_anchored(bench):
+    """Round-4 evidence bug (VERDICT r4 weak #2): the wall regex matched
+    the FIRST '[drain] N epochs in Xs' line, so a checkpointed run
+    recorded wall_s_incl_compile 2.13 s < boundary_io_s 2.76 s —
+    internally impossible.  The captured output shape, re-parsed: the
+    wall must come from the anchored total line only."""
+    out = (
+        "====> Epoch: 0 - Total loss: 1.0 - Average loss: 0.1 (500,000 frames/s)\n"
+        "[drain] 20 epochs in 2.133s = 337,160 frames/s\n"
+        "[drain] 20 epochs in 0.420s = 2,083,216 frames/s\n"
+        "[drain] 20 epochs in 0.224s = 3,904,472 frames/s\n"
+        "====> Resident epochs e2e: 60 epochs in 14.80s = 331,000 frames/s "
+        "wall-clock incl. checkpoints (2.76s of that is boundary host I/O)\n"
+        "====> Resident steady e2e (excl. first-dispatch compile): "
+        "40 epochs in 5.10s = 337,160 frames/s\n"
+    )
+    stats = bench._parse_resident_output(out)
+    assert stats["wall_s_incl_compile"] == 14.80
+    assert stats["wall_s_incl_compile"] >= stats["boundary_io_s"]
+    assert stats["windows"] == 3
+    assert stats["warm_window_max"] == 3904472.0
+
+
+def test_parse_resident_output_single_window(bench):
+    """One drain window = the compile window: warm_window_* must be None
+    (round-4 advisor: the `wins[1:] or wins` fallback reported the
+    compile-polluted whole-wall rate as a warm figure)."""
+    out = (
+        "====> Epoch: 0 - Total loss: 1.0 - Average loss: 0.1 (27,450 frames/s)\n"
+        "[drain] 320 epochs in 363.670s = 27,450 frames/s\n"
+        "====> Resident epochs e2e: 320 epochs in 363.67s = 27,450 frames/s "
+        "wall-clock incl. checkpoints (0.00s of that is boundary host I/O)\n"
+        "====> Resident steady e2e (excl. first-dispatch compile): "
+        "256 epochs in 1.20s = 4,333,156 frames/s\n"
+    )
+    stats = bench._parse_resident_output(out)
+    assert stats["warm_window_max"] is None
+    assert stats["warm_window_median"] is None
+    assert stats["value"] == 4333156.0       # steady line still headline
+    assert stats["wall_s_incl_compile"] == 363.67
+
+
+def test_parse_resident_output_link_meter(bench):
+    """The trainer's [boundary-link] and ex-boundary-I/O lines must land
+    in the stats so the bench artifact is self-explaining (VERDICT r4
+    item 5: a reader of BENCH_MATRIX.json alone can tell device
+    regression from link weather)."""
+    out = (
+        "[drain] 20 epochs in 2.133s = 337,160 frames/s\n"
+        "[drain] 20 epochs in 0.420s = 2,083,216 frames/s\n"
+        "====> Resident epochs e2e: 60 epochs in 14.80s = 331,000 frames/s "
+        "wall-clock incl. checkpoints (9.20s of that is boundary host I/O)\n"
+        "[boundary-link] 172.4 MB of state drained in 9.13s = 18.9 MB/s\n"
+        "====> Resident steady e2e (excl. first-dispatch compile): "
+        "40 epochs in 5.10s = 337,160 frames/s\n"
+        "====> Resident steady e2e ex-boundary-I/O: 40 epochs in 1.10s = "
+        "4,100,000 frames/s\n"
+    )
+    stats = bench._parse_resident_output(out)
+    assert stats["drained_MB"] == 172.4
+    assert stats["link_MBps"] == 18.9
+    assert stats["steady_e2e_ex_io"] == 4100000.0
+    assert stats["steady_e2e"] == 337160.0
+
+
 def test_parse_resident_output_drain_markers(bench):
     """With the trainer's per-drain marker lines, windows come from the
     markers EXACTLY — two adjacent windows that round to the same rate must
