@@ -976,6 +976,55 @@ def run_single(args) -> None:
     print(json.dumps(single_result(args)))
 
 
+def check_docs(tolerance: float = 0.15) -> list:
+    """Mechanical doc-drift check (VERDICT r4 item 6): every README
+    performance-table row tagged with a BENCH_MATRIX.json config name must
+    quote a value within ``tolerance`` of the committed capture.  Returns a
+    list of failure strings (empty = docs match the matrix).  Round 4 shipped
+    a README claiming 4.65 M / +2.9% next to a committed matrix saying
+    4.55 M / +1.0% with nothing to catch the drift — this closes that."""
+    import re
+
+    root = Path(__file__).resolve().parent
+    matrix = json.loads((root / "BENCH_MATRIX.json").read_text())
+    values = {c["name"]: c.get("value") for c in matrix.get("configs", [])}
+    failures, checked = [], 0
+    num_re = re.compile(
+        r"([\d.]+)\s*([Mk])\s*(?:frames/s|[×x]\s*real\s*time)")
+    for n, line in enumerate((root / "README.md").read_text().splitlines(),
+                             start=1):
+        if not line.startswith("|"):
+            continue
+        tags = [t for t in re.findall(r"`([a-z0-9_]+)`", line)
+                if t in values]
+        if not tags:
+            continue
+        tag = tags[0]
+        if values[tag] is None:
+            failures.append(f"README.md:{n} `{tag}`: matrix row has no value")
+            continue
+        m = num_re.search(line)
+        if not m:
+            failures.append(
+                f"README.md:{n} `{tag}`: no parseable 'N M/k frames/s' or "
+                f"'N k× real time' quantity in the row")
+            continue
+        claimed = float(m.group(1)) * (1e6 if m.group(2) == "M" else 1e3)
+        actual = float(values[tag])
+        drift = abs(claimed - actual) / actual
+        checked += 1
+        if drift > tolerance:
+            failures.append(
+                f"README.md:{n} `{tag}`: claims {claimed:,.0f} but "
+                f"BENCH_MATRIX.json says {actual:,.0f} "
+                f"({drift:.0%} > {tolerance:.0%} drift)")
+    if checked < 8:
+        failures.append(
+            f"only {checked} tagged README rows checked (expected >= 8) — "
+            f"the config tags in the performance table went missing")
+    return failures
+
+
 def _spec_args(spec: dict, args):
     """argparse.Namespace for one MATRIX spec — the in-process mirror of
     ``_single_cmd`` (keep the two in sync)."""
@@ -1042,6 +1091,10 @@ def main() -> None:
                     help="comma-separated MATRIX config names to run "
                          "sequentially in THIS process, one JSON line "
                          "each (run_matrix's amortized subprocess unit)")
+    ap.add_argument("--check-docs", action="store_true",
+                    help="cross-check README's tagged performance table "
+                         "against the committed BENCH_MATRIX.json; exit "
+                         "nonzero on >15%% drift (no device work)")
     ap.add_argument("--parity-only", action="store_true",
                     help="print the pallas-vs-xla loss-delta JSON and exit "
                          "(run_matrix's subprocess-isolated attestation)")
@@ -1078,6 +1131,12 @@ def main() -> None:
     ap.add_argument("--config-timeout", type=float, default=420.0,
                     help="matrix mode: hard per-config subprocess timeout")
     args = ap.parse_args()
+    if args.check_docs:
+        failures = check_docs()
+        for f in failures:
+            print(f, file=sys.stderr)
+        print(json.dumps({"doc_drift_failures": len(failures)}))
+        sys.exit(1 if failures else 0)
     if args.parity_only:
         print(json.dumps({
             "pallas_vs_xla_loss_delta": parity_check(args.batch,

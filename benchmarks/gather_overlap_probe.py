@@ -10,8 +10,13 @@ design choice.  This probe measures it directly on the production
 workload shape (120 s corpus ≈ 41k frames of seg 1024, batch 4096, bf16,
 block shuffle, XLA backend — the `backend=best` resident route).
 
-Four formulations of a G-epoch group (identical math, same shuffle
-order):
+Four formulations of a G-epoch group.  nocond/dbuf/prod run identical
+math with the same shuffle order (all three derive per-epoch permutations
+from fold_in(rng, 0x5EED); dbuf additionally issues G+1 gathers per group
+— the final one discarded — versus nocond/prod's G).  floor is
+intentionally NOT the same program: it scans a fixed matrix shuffled once
+with an unrelated PRNGKey(2) and no per-epoch reshuffle — it exists only
+as the zero-shuffle-work ceiling, not as a fourth same-math variant:
 
   prod      — parallel/resident.py's build_resident_epoch as shipped
               (dynamic-k cond masking, pre-gather at the top of each
@@ -222,9 +227,16 @@ def main():
                 ("dbuf", dbuf), ("prod", prod)]
     if args.only:
         variants = [(n, f) for n, f in variants if n == args.only]
+    # every variant jits with donate_argnums=(0,): the first warmup call
+    # DONATES the state's buffers, so each timeit needs its own device
+    # copy rebuilt from a host snapshot (passing state0 to all four made
+    # the default no-`--only` invocation crash on variant two with a
+    # deleted-array error)
+    host_state = jax.device_get(state0)
     results = {}
     for name, fn in variants:
-        t = timeit(fn, state0, data, G, chain=args.chain)
+        t = timeit(fn, jax.device_put(host_state), data, G,
+                   chain=args.chain)
         rate = frames_per_call / t
         results[name] = rate
         print(f"{name:8s} {t * 1e3 / G:7.3f} ms/epoch   "
