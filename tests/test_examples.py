@@ -15,8 +15,9 @@ from rawaudiovae_kelsey_tpu.io import read_wav, write_wav
 REPO = Path(__file__).resolve().parent.parent
 
 
-@pytest.mark.slow
-def test_tutorial_example_end_to_end(tmp_path):
+def _scratch_trained_run(tmp_path):
+    """A tiny trained run + source audio folder — the fixture both tutorial
+    tests (script twin and the notebook itself) drive their flow against."""
     from rawaudiovae_kelsey_tpu.config import Config
     from rawaudiovae_kelsey_tpu.train.epoch import train
 
@@ -45,7 +46,12 @@ def test_tutorial_example_end_to_end(tmp_path):
     cfg.training.save_best_model_after = 0
     cfg.extra.description = "tut_smoke"
     ctx = train(cfg, verbose=False)
-    run = ctx.workspace.workdir
+    return ctx.workspace.workdir, audio
+
+
+@pytest.mark.slow
+def test_tutorial_example_end_to_end(tmp_path):
+    run, audio = _scratch_trained_run(tmp_path)
 
     out = tmp_path / "tut_out"
     env = dict(os.environ)
@@ -73,3 +79,78 @@ def test_tutorial_example_end_to_end(tmp_path):
     src, _ = read_wav(out / "source_a.wav")
     stretch, _ = read_wav(out / "stretch_effect.wav")
     assert stretch.size > 2 * src.size
+
+
+@pytest.mark.slow
+def test_tutorial_notebook_executes(tmp_path, monkeypatch):
+    """Execute examples/tutorial.ipynb ITSELF (VERDICT r4 item 3): the
+    notebook is the parity artifact for the reference's tutorial.ipynb (its
+    primary creative deliverable) and previously only its script twin was
+    pinned — the committed .ipynb could silently drift.  nbclient runs every
+    cell against a scratch trained run; the test fails if any cell errors,
+    if the inline Audio players disappear, or if the artifact wavs aren't
+    written."""
+    import json
+
+    import nbformat
+    from nbclient import NotebookClient
+
+    run, audio = _scratch_trained_run(tmp_path)
+    out = tmp_path / "nb_out"
+
+    nb = nbformat.read(REPO / "examples" / "tutorial.ipynb", as_version=4)
+    setup = nb.cells[1].source
+    patched = (
+        setup
+        .replace("Path('path/to/<datapath>/<description>/run-000')",
+                 f"Path({str(run)!r})")
+        .replace("Path('path/to/wav_folder')", f"Path({str(audio)!r})")
+        .replace("Path('tutorial_out')", f"Path({str(out)!r})")
+    )
+    # all three EDIT-marked paths must still exist in the committed cell —
+    # if the notebook's setup drifts, fail loudly here rather than deep
+    # in a kernel traceback
+    assert patched.count(str(tmp_path)) == 3, \
+        "tutorial.ipynb setup cell no longer carries the three EDIT paths"
+    nb.cells[1].source = patched
+    # final shape/finiteness attestation as its own appended cell: runs in
+    # the kernel where the notebook's names live
+    nb.cells.append(nbformat.v4.new_code_cell(
+        "assert mu_a.shape == lv_a.shape and mu_a.shape[1] == "
+        "cfg.vae.latent_dim, mu_a.shape\n"
+        "assert morph.ndim == 2 and morph.shape[1] == model.segment_length\n"
+        "import numpy as _np\n"
+        "for _x in (morph, tv, gentle, frames, recon):\n"
+        "    assert _np.isfinite(_np.asarray(_x)).all()\n"
+        "print('NB_ATTEST_OK')\n"))
+
+    # the kernel is a fresh process: force CPU jax (the package re-asserts
+    # JAX_PLATFORMS for built-in names on import) and make the library
+    # importable without installation
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("XLA_FLAGS", raising=False)
+    monkeypatch.setenv("PYTHONPATH", str(REPO))
+    monkeypatch.setenv("MPLBACKEND", "Agg")
+    client = NotebookClient(
+        nb, timeout=300, startup_timeout=120, kernel_name="python3",
+        resources={"metadata": {"path": str(tmp_path)}})
+    client.execute()  # raises CellExecutionError on any failing cell
+
+    # inline audio players present (reference tutorial cells 21-22, 26-27,
+    # 31-33, ...): IPython.display.Audio renders as text/html <audio> tags
+    players = 0
+    for cell in nb.cells:
+        for o in cell.get("outputs", []):
+            html = o.get("data", {}).get("text/html", "")
+            if isinstance(html, list):
+                html = "".join(html)
+            players += html.count("<audio")
+    assert players >= 9, f"expected >=9 inline audio players, found {players}"
+    # the attestation cell ran and passed
+    tail = json.dumps(nb.cells[-1].get("outputs", []))
+    assert "NB_ATTEST_OK" in tail, tail
+    # artifact wavs written by the notebook cells, real nonzero audio
+    for name in ("morph_stepwise.wav", "morph_timevarying.wav",
+                 "morph_gentle.wav", "stretch_effect.wav", "recon_ola.wav"):
+        w, sr = read_wav(out / name)
+        assert sr == 44100 and w.size > 0 and float(np.abs(w).max()) > 0, name
