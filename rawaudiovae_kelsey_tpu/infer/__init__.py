@@ -31,7 +31,10 @@ from rawaudiovae_kelsey_tpu.infer.onnx_model import (  # noqa: F401
     OnnxModel,
     export_onnx,
 )
-from rawaudiovae_kelsey_tpu.infer.server import InferenceServer  # noqa: F401
+from rawaudiovae_kelsey_tpu.infer.server import (  # noqa: F401
+    InferenceServer,
+    LiveSession,
+)
 from rawaudiovae_kelsey_tpu.infer.http import HttpInferenceServer  # noqa: F401
 from rawaudiovae_kelsey_tpu.infer.som_train import (  # noqa: F401
     assign_clusters,

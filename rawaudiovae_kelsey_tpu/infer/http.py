@@ -19,6 +19,25 @@ Endpoints (bodies are WAV bytes via our own codec unless noted):
          Stepwise by default (the tutorial's α grid); an ``alfa`` array in
          the body or ``mode=sine`` selects time-varying interpolation.
 
+Stateful live sessions (chunked INPUT audio with cross-chunk overlap-add
+continuity — the live analog of the reference tutorial's interactive
+encode→morph→listen loop, cells 14-22/36-37):
+
+  POST /session/open[?hop=N&ola=1&alpha=A]
+       → {"session": id, ...}.  Empty body = reconstruct mode; an
+         npz{target[, sr]} body = morph mode (every live frame's latent is
+         lerped toward the target clip's trajectory with weight alpha).
+  POST /session/<id>/feed   → wav chunk in, wav out (the samples this
+         chunk finalized; possibly zero while the buffer is shorter than
+         one segment).  Chunk sampling rate must match the model's — a
+         stateful stream cannot be resampled per chunk without breaking
+         continuity at chunk edges.
+  POST /session/<id>/close  → wav out (the padded tail), session deleted.
+
+With a deterministic backend, the concatenation of every feed response
+plus the close response is bit-identical to POST /reconstruct of the
+concatenated input (LiveSession's framing/stitching contract).
+
 Run:  python -m rawaudiovae_kelsey_tpu serve --run <workdir> [--port 8422]
 """
 
@@ -26,7 +45,9 @@ from __future__ import annotations
 
 import io
 import json
+import secrets
 import threading
+import time
 from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -53,9 +74,66 @@ def _npz_bytes(**arrays) -> bytes:
     return buf.getvalue()
 
 
+class _SessionRegistry:
+    """Live-session table: id → LiveSession, capacity-capped and
+    TTL-evicted (an abandoned session must not pin its buffers forever).
+    Eviction happens lazily under the registry lock on every operation;
+    evicted/closed ids answer 404 to later feeds."""
+
+    def __init__(self, max_sessions: int = 64, ttl_s: float = 900.0):
+        self.max_sessions = max_sessions
+        self.ttl_s = ttl_s
+        self._d: dict = {}          # sid -> [session, last_used_monotonic]
+        self._lock = threading.Lock()
+        self._seq = 0
+
+    def _evict_expired(self) -> None:
+        now = time.monotonic()
+        for sid in [s for s, (_, t) in self._d.items()
+                    if now - t > self.ttl_s]:
+            sess, _ = self._d.pop(sid)
+            sess.abort()
+
+    def open(self, sess) -> Optional[str]:
+        """Register; returns the id, or None when at capacity."""
+        with self._lock:
+            self._evict_expired()
+            if len(self._d) >= self.max_sessions:
+                return None
+            self._seq += 1
+            sid = f"{self._seq:x}-{secrets.token_hex(8)}"
+            self._d[sid] = [sess, time.monotonic()]
+            return sid
+
+    def get(self, sid: str):
+        with self._lock:
+            self._evict_expired()
+            entry = self._d.get(sid)
+            if entry is None:
+                return None
+            entry[1] = time.monotonic()
+            return entry[0]
+
+    def pop(self, sid: str):
+        with self._lock:
+            entry = self._d.pop(sid, None)
+            return None if entry is None else entry[0]
+
+    def next_seed(self) -> int:
+        with self._lock:
+            return self._seq + 1
+
+    def abort_all(self) -> None:
+        with self._lock:
+            for sess, _ in self._d.values():
+                sess.abort()
+            self._d.clear()
+
+
 class _Handler(BaseHTTPRequestHandler):
     # set by serve(): the backing batched server + audio params
     backend: InferenceServer = None
+    sessions: _SessionRegistry = None
     sampling_rate: int = 44100
     request_timeout_s: float = 120.0
     max_body_bytes: int = 256 << 20  # one request can't exhaust host RAM
@@ -83,14 +161,92 @@ class _Handler(BaseHTTPRequestHandler):
             raise self._TooLarge(length)
         return self.rfile.read(length)
 
-    def _body_as_wave(self) -> np.ndarray:
+    def _body_as_wave(self, strict_sr: bool = False) -> np.ndarray:
         samples, sr = decode_wav_bytes(self._read_body(), name="<request>")
         wave = to_mono(samples, "mean")
         if sr != self.sampling_rate:
+            if strict_sr:
+                # session feeds are a stateful stream: per-chunk polyphase
+                # resampling has edge state this handler doesn't keep, so a
+                # mismatched chunk would glitch at every boundary — reject
+                raise ValueError(
+                    f"session chunks must be {self.sampling_rate} Hz "
+                    f"(got {sr}); resample client-side before feeding")
             # resample mismatched uploads to the model's rate rather than
             # silently reconstructing pitch-shifted garbage
             wave = resample(wave, sr, self.sampling_rate)
         return wave
+
+    def _handle_session(self, parsed, q, hop: Optional[int],
+                        ola: bool) -> None:
+        """Routes /session/open, /session/<id>/feed, /session/<id>/close."""
+        parts = parsed.path.strip("/").split("/")
+        if parts == ["session", "open"]:
+            alpha = float(q.get("alpha", ["0.5"])[0])
+            body = self._read_body()
+            target = None
+            if body:
+                with np.load(io.BytesIO(body)) as npz:
+                    if "target" not in npz:
+                        self._send_json(400, {
+                            "error": "session/open body must be empty "
+                                     "(reconstruct) or an npz with a "
+                                     "'target' waveform (morph)"})
+                        return
+                    target = np.asarray(npz["target"],
+                                        np.float32).reshape(-1)
+                    src_sr = int(npz["sr"]) if "sr" in npz else None
+                if src_sr is not None and src_sr != self.sampling_rate:
+                    # one-shot resample is stateless — safe for the target
+                    target = resample(target, src_sr, self.sampling_rate)
+            sess = self.backend.live_session(
+                hop=hop, ola=ola, target=target, alpha=alpha,
+                timeout=self.request_timeout_s,
+                session_seed=self.sessions.next_seed())
+            sid = self.sessions.open(sess)
+            if sid is None:
+                sess.abort()
+                self._send_json(429, {
+                    "error": f"session table full "
+                             f"({self.sessions.max_sessions}); close or "
+                             "abandon existing sessions"})
+                return
+            self._send_json(200, {
+                "session": sid,
+                "mode": "morph" if target is not None else "reconstruct",
+                "hop": hop, "ola": bool(ola and hop), "alpha": alpha,
+                "segment_length": self.backend.model.segment_length,
+                "sampling_rate": self.sampling_rate,
+            })
+            return
+        if len(parts) == 3 and parts[0] == "session" \
+                and parts[2] in ("feed", "close"):
+            sid, op = parts[1], parts[2]
+            sess = self.sessions.get(sid)
+            if sess is None:
+                self._send_json(404, {
+                    "error": "unknown, closed, or expired session"})
+                return
+            if op == "feed":
+                wave = self._body_as_wave(strict_sr=True)
+                try:
+                    piece = sess.feed(wave)
+                except RuntimeError as e:
+                    # closed under our feet (close/eviction race) — the
+                    # session is gone, tell the client so, not a 500
+                    self._send_json(404, {"error": f"session: {e}"})
+                    return
+                self._send(200, encode_wav_bytes(piece, self.sampling_rate),
+                           "audio/wav")
+                return
+            out = sess.close()
+            self.sessions.pop(sid)
+            self._send(200, encode_wav_bytes(out, self.sampling_rate),
+                       "audio/wav")
+            return
+        self._send_json(404, {"error": "unknown session path; use "
+                                       "/session/open, /session/<id>/feed, "
+                                       "/session/<id>/close"})
 
     def _stream_reconstruct(self, wave, hop, ola, q) -> None:
         """``/reconstruct?stream=1[&chunk=N]``: progressive WAV response.
@@ -157,7 +313,9 @@ class _Handler(BaseHTTPRequestHandler):
                     "error": f"hop must be a positive divisor of "
                              f"segment_length {seg}; got {hop}"})
                 return
-            if parsed.path == "/reconstruct":
+            if parsed.path.startswith("/session"):
+                self._handle_session(parsed, q, hop, ola)
+            elif parsed.path == "/reconstruct":
                 wave = self._body_as_wave()
                 if q.get("stream", ["0"])[0] in ("1", "true"):
                     self._stream_reconstruct(wave, hop, ola, q)
@@ -248,8 +406,10 @@ class HttpInferenceServer:
         # backlog instead of being refused.  Off by default: CPU tests pay
         # three needless compiles otherwise.
         self._warmup = warmup
+        self.sessions = _SessionRegistry()
         handler = type("BoundHandler", (_Handler,), {
             "backend": self.backend,
+            "sessions": self.sessions,
             "sampling_rate": sampling_rate,
         })
         self.httpd = ThreadingHTTPServer((host, port), handler)
@@ -269,6 +429,10 @@ class HttpInferenceServer:
     def stop(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
+        # open sessions hold only host-side numpy state — abort (no device
+        # work) BEFORE stopping the backend so a racing feed gets a clean
+        # "session closed" instead of hanging on a dead queue
+        self.sessions.abort_all()
         self.backend.stop()
         if self._thread is not None:
             self._thread.join(timeout=10)

@@ -214,6 +214,18 @@ class InferenceServer:
 
         return n, gen()
 
+    def live_session(self, *, hop: Optional[int] = None, ola: bool = False,
+                     target: Optional[np.ndarray] = None, alpha: float = 0.5,
+                     timeout: Optional[float] = None,
+                     session_seed: int = 0) -> "LiveSession":
+        """Open a stateful chunked-input session (see :class:`LiveSession`).
+        ``target`` switches the session to morph mode (each live frame's
+        latent lerped toward the target clip's trajectory with weight
+        ``alpha``)."""
+        return LiveSession(self, hop=hop, ola=ola, target=target,
+                           alpha=alpha, timeout=timeout,
+                           session_seed=session_seed)
+
     def interpolate(self, audio_a: np.ndarray, audio_b: np.ndarray, *,
                     alphas=None, alfa: Optional[np.ndarray] = None,
                     hop: Optional[int] = None,
@@ -435,3 +447,174 @@ class InferenceServer:
                     (np.asarray(self._reconstruct(key, x))[:B - pad],)
                 )
         return tuple(np.concatenate(cols, axis=0) for cols in zip(*parts))
+
+
+class LiveSession:
+    """Stateful chunked-input resynthesis with cross-chunk continuity — the
+    live-session analog of the reference notebook's interactive
+    encode→morph→listen loop (/root/reference/tutorial.ipynb cells 14-22,
+    36-37), which re-ran a whole clip per iteration.  Feed arbitrary-length
+    waveform chunks in order; each :meth:`feed` returns the output samples
+    made FINAL by that chunk (cross-chunk overlap-add continuity via
+    :class:`OverlapAddStream`), and :meth:`close` flushes the padded tail.
+
+    Framing is incremental and boundary-exact: frames are cut at the same
+    global offsets ``frame_audio`` would cut them for the concatenated
+    input, no matter how the input was chunked.  With a ``deterministic``
+    backend the concatenation of every returned piece is therefore
+    bit-identical to the one-shot path on the same audio
+    (``InferenceServer.reconstruct(concat, hop=hop, ola=ola)``); the
+    stochastic path draws noise per device batch, so chunking changes the
+    noise sequence (same documented caveat as ``reconstruct_stream``).
+
+    Modes:
+      * reconstruct (default): encode → reparameterize → decode per frame,
+        through the server's coalescing queue (sessions batch with all
+        other traffic).
+      * morph (``target`` given): the target clip is encoded once at open;
+        live frame ``i``'s ``(mu, logvar)`` is lerped toward target frame
+        ``i % len(target)`` with weight ``alpha`` (cells 16/36 lerp
+        semantics applied causally per live frame), then reparameterized
+        and decoded.  Morph noise comes from a session-local key (folded
+        per feed), not the server tick — a live session's noise sequence
+        is reproducible regardless of concurrent traffic.
+
+    Thread safety: feed/close serialize on a per-session lock (state is
+    order-dependent — concurrent feeds from one client are a protocol
+    error, but they cannot corrupt the stitcher).
+    """
+
+    def __init__(self, server: InferenceServer, *,
+                 hop: Optional[int] = None, ola: bool = False,
+                 target: Optional[np.ndarray] = None, alpha: float = 0.5,
+                 timeout: Optional[float] = None, session_seed: int = 0):
+        from rawaudiovae_kelsey_tpu.data.framing import (
+            nonoverlapping_frames,
+            overlapping_frames,
+        )
+
+        self._overlapping_frames = overlapping_frames
+        self._nonoverlapping_frames = nonoverlapping_frames
+        self.server = server
+        self.seg = server.model.segment_length
+        self.hop = int(hop) if hop else None
+        if self.hop is not None and (self.hop <= 0 or self.seg % self.hop):
+            raise ValueError(
+                f"hop must be a positive divisor of segment_length "
+                f"{self.seg}; got {hop}")
+        self.stride = self.hop or self.seg
+        self.ola = bool(ola and self.hop)
+        self.alpha = float(alpha)
+        self.timeout = timeout
+        self._buf = np.zeros(0, np.float32)
+        self._stitch = OverlapAddStream(self.hop) if self.ola else None
+        self._lock = threading.Lock()
+        self._closed = False
+        self._frame_idx = 0   # global frame counter (target indexing)
+        self._feeds = 0       # per-feed RNG fold counter (morph mode)
+        self._key = jax.random.fold_in(server._key,
+                                       0x5E55 ^ (session_seed & 0x7FFFFFFF))
+        self._target = None
+        if target is not None:
+            target = np.asarray(target, np.float32).reshape(-1)
+            frames = self.server._to_frames(target, self.hop)
+            if len(frames) == 0:
+                raise ValueError(
+                    "morph target is shorter than one segment "
+                    f"({self.seg} samples)")
+            fut = self.server._submit(_Request("encode", frames, Future()))
+            self._target = fut.result(timeout)  # (mu_t, logvar_t)
+
+    # ------------------------------------------------------------- public --
+    @property
+    def closed(self) -> bool:
+        return self._closed
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        """Append samples; return the output samples this chunk finalized
+        (possibly empty while the buffer is shorter than one segment)."""
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("session closed")
+            samples = np.asarray(samples, np.float32).reshape(-1)
+            if samples.size:
+                self._buf = (np.concatenate([self._buf, samples])
+                             if self._buf.size else samples)
+            if len(self._buf) < self.seg:
+                return np.zeros(0, np.float32)
+            n_new = (len(self._buf) - self.seg) // self.stride + 1
+            frames = np.ascontiguousarray(
+                np.lib.stride_tricks.sliding_window_view(
+                    self._buf, self.seg)[::self.stride][:n_new])
+            self._buf = self._buf[n_new * self.stride:].copy()
+            return self._emit(self._process(frames))
+
+    def close(self) -> np.ndarray:
+        """Flush: frame the padded residual exactly as the one-shot path
+        pads the clip tail, decode it, and drain the stitcher."""
+        with self._lock:
+            if self._closed:
+                return np.zeros(0, np.float32)
+            self._closed = True
+            if self.hop is not None:
+                tail = self._overlapping_frames(self._buf, self.seg,
+                                                self.hop)
+            elif self._buf.size:
+                tail = self._nonoverlapping_frames(self._buf, self.seg)
+            else:
+                tail = np.zeros((0, self.seg), np.float32)
+            self._buf = np.zeros(0, np.float32)
+            out = self._emit(self._process(np.ascontiguousarray(tail)))
+            if self._stitch is not None:
+                fin = self._stitch.finish()
+                out = np.concatenate([out, fin]) if out.size else fin
+            return out
+
+    def abort(self) -> None:
+        """Drop the session without device work (registry eviction path)."""
+        with self._lock:
+            self._closed = True
+            self._buf = np.zeros(0, np.float32)
+            self._stitch = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not self._closed:
+            self.close()
+
+    # ------------------------------------------------------------ private --
+    def _process(self, frames: np.ndarray) -> np.ndarray:
+        """Frames in → decoded frames out, through the coalescing queue."""
+        if len(frames) == 0:
+            return np.zeros((0, self.seg), np.float32)
+        if self._target is None:
+            fut = self.server._submit(_Request(
+                "reconstruct", frames, Future(), hop=self.hop,
+                ola=self.ola, raw=True))
+            out = fut.result(self.timeout)
+        else:
+            mu, logvar = self.server._submit(
+                _Request("encode", frames, Future())).result(self.timeout)
+            mu_t, lv_t = self._target
+            idx = (self._frame_idx + np.arange(len(frames))) % len(mu_t)
+            a = self.alpha
+            mu_mix = (1.0 - a) * mu + a * mu_t[idx]
+            lv_mix = (1.0 - a) * logvar + a * lv_t[idx]
+            if self.server.deterministic:
+                z = np.asarray(mu_mix, np.float32)
+            else:
+                self._feeds += 1
+                key = jax.random.fold_in(self._key, self._feeds)
+                z = np.asarray(reparameterize(
+                    key, jnp.asarray(mu_mix), jnp.asarray(lv_mix)))
+            out = self.server._submit(
+                _Request("decode", z, Future())).result(self.timeout)
+        self._frame_idx += len(frames)
+        return out
+
+    def _emit(self, out_frames: np.ndarray) -> np.ndarray:
+        if self._stitch is not None:
+            return self._stitch.add(out_frames)
+        return flat_concat(out_frames)
