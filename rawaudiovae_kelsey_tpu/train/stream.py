@@ -26,6 +26,7 @@ Two execution paths share all bookkeeping:
 from __future__ import annotations
 
 import itertools
+import time
 
 import numpy as np
 
@@ -627,6 +628,19 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     snap_fn = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))
 
     ctx.timer.start()
+    loop_t0 = time.perf_counter()
+
+    def _e2e_summary(bid: int) -> None:
+        # whole-loop wall (post-upload, incl. every checkpoint boundary) —
+        # the honest long-run figure the run report needs; the per-window
+        # "Checkpoint - Batch" rates exclude boundary I/O by design
+        done_b = bid - start_batch
+        wall = time.perf_counter() - loop_t0
+        if done_b > 0 and wall > 0:
+            print(f"====> Resident stream e2e: {done_b} batches in "
+                  f"{wall:.2f}s = {done_b * batch_size / wall:,.0f} "
+                  f"frames/s wall-clock incl. checkpoints")
+
     window_mark = start_batch  # first batch of the current rate window
     for ci, idx_dev in enumerate(staged):
         k = ks[ci]
@@ -663,6 +677,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
             drain()
             if bwriter is not None:
                 bwriter.flush()  # settle the best gate/artifact trail first
+            _e2e_summary(batch_id)
             print(f"Interrupted at batch {batch_id}; checkpointing.")
             L.save_periodic_checkpoint(ctx, {"batch_id": batch_id},
                                        label=batch_id)
@@ -717,6 +732,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     drain()
     if bwriter is not None:
         bwriter.flush()  # settle the last boundary before the tail reads
+    _e2e_summary(batch_id)
     print(f"Last Checkpoint - Batch {total_num_batches}")
     host, host_p = L.boundary_host_state(ctx)  # one fetch, whole tail
     if cfg.dataset.generate_test:
