@@ -294,3 +294,46 @@ def test_parse_resident_output_drain_markers(bench):
     assert stats["windows"] == 3          # heuristic would collapse to 2
     assert stats["warm_window_median"] == 4000000.0
     assert stats["value"] == 4000000.0
+
+
+def test_erokia_parse_leg():
+    """benchmarks/erokia_run.py's leg parser against the trainer's real
+    line shapes — the run report's facts come from these regexes."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "erokia_run", REPO / "benchmarks" / "erokia_run.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    lines = [
+        (5.0, "Total number of batches: 37674"),
+        (40.0, "Device-resident stream: 3,086,282 frames (6,321 MB on "
+               "device), 64 steps/dispatch"),
+        (95.0, "Batch 64/37674"),
+        (96.0, "Batch 754/37674"),
+        (99.0, "Checkpoint - Batch 754 (4,100,000 frames/s)"),
+        (120.0, "Batch 1508/37674"),
+        (121.0, "Checkpoint - Batch 1508 (4,300,000 frames/s)"),
+        (130.0, "====> Resident stream e2e: 1600 batches in 35.00s = "
+                "187,245 frames/s wall-clock incl. checkpoints"),
+        (130.5, "Interrupted at batch 1600; checkpointing."),
+    ]
+    leg = {"reason": "explicit-sigterm", "rc": 0, "wall_s": 131.0,
+           "lines": lines}
+    out = mod.parse_leg(leg)
+    assert out["resident_frames"] == 3086282
+    assert out["resident_MB"] == 6321
+    assert out["t_first_batch_s"] == 95.0
+    assert out["ckpt_windows"] == 2
+    assert out["window_rate_median"] == 4200000.0
+    assert out["e2e_frames_per_s"] == 187245.0
+    assert out["interrupted_at_batch"] == 1600
+    assert out["last_batch_dispatched"] == 1508
+    assert "finished" not in out
+    # dispatch-progress lines are excluded from the stored excerpt
+    assert all(not ln.startswith("Batch ")
+               for _, ln in out["log_excerpt"])
+    # finished leg
+    leg["lines"] = lines + [(200.0, "Training Finished: Saved the last "
+                                    "model")]
+    assert mod.parse_leg(leg)["finished"] is True

@@ -3,6 +3,8 @@ trainer (train_iterable.py flow) on a scratch wav dataset, checking the full
 workspace contract — run dirs, config snapshot, checkpoints, reconstructions,
 TB events, best/last models, resume."""
 
+import re
+
 import numpy as np
 import pytest
 
@@ -438,6 +440,10 @@ def test_stream_trainer_device_resident(scratch_dataset):
     ws = ctx.workspace
     txt = ws.console_log_path.read_text()
     assert "Device-resident stream" in txt
+    # the whole-loop e2e summary (benchmarks/erokia_run.py parses this
+    # exact shape for the production-run report)
+    assert re.search(r"Resident stream e2e: 20 batches in [\d.]+s = "
+                     r"[\d,]+ frames/s", txt), txt[-500:]
     recs = [r.name for r in sorted(ws.audio_log_dir.glob("test_reconst_*.wav"))]
     assert "test_reconst_00008.wav" in recs
     assert "test_reconst_00020.wav" in recs
