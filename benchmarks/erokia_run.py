@@ -187,6 +187,50 @@ def write_ini(path: Path, datapath: Path, description: str,
 
 # ------------------------------------------------------------------ legs --
 
+PROBE_SRC = """
+import time, numpy as np, jax
+x = np.ones((5, 1024, 1024), np.float32)  # 20 MB
+t0 = time.perf_counter()
+d = jax.device_put(x)
+s = float(jax.device_get(d.sum()))
+print(f"PROBE_MBPS {20.0 / (time.perf_counter() - t0):.2f}")
+"""
+
+
+def tunnel_mbps(timeout: float = 90.0):
+    """20 MB upload+reduce+fetch in a bounded subprocess → measured MB/s,
+    or None when the tunnel is wedged (the axon link collapses for hours
+    at a time — a leg launched into that burns its whole window in the
+    corpus upload and leaves nothing to resume)."""
+    try:
+        proc = subprocess.run([sys.executable, "-c", PROBE_SRC],
+                              capture_output=True, text=True,
+                              timeout=timeout, cwd=REPO)
+        for line in proc.stdout.splitlines():
+            if line.startswith("PROBE_MBPS"):
+                return float(line.split()[1])
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
+def wait_for_tunnel(state: dict, min_mbps: float = 3.0,
+                    max_wait_s: float = 3600.0) -> bool:
+    """Block (probing every ~3 min) until the link clears ``min_mbps``;
+    probe history lands in the report so link weather is attributable."""
+    t0 = time.monotonic()
+    probes = state.setdefault("tunnel_probes", [])
+    while True:
+        mbps = tunnel_mbps()
+        probes.append({"t": time.strftime("%H:%M:%S"), "mbps": mbps})
+        save_state(state)
+        if mbps is not None and mbps >= min_mbps:
+            return True
+        if time.monotonic() - t0 > max_wait_s:
+            return False
+        print(f"tunnel degraded ({mbps} MB/s); waiting...", flush=True)
+        time.sleep(170)
+
 def run_leg(ini: Path, *, resume: bool, timeout: float,
             term_after_marker: float = 0.0,
             marker: str = "Checkpoint - Batch",
@@ -363,6 +407,8 @@ def stage_ab(root: Path, state: dict, timeout: float) -> None:
             shutil.rmtree(desc_dir)
         ini = write_ini(ab_root / f"{desc}.ini", ab_root, desc,
                         n_batches * BATCH, interval)
+        if not wait_for_tunnel(state):
+            raise SystemExit("ab: tunnel stayed degraded for an hour")
         legs = []
         if name == "uninterrupted":
             legs.append(parse_leg(run_leg(ini, resume=False,
@@ -437,6 +483,10 @@ def stage_full(root: Path, state: dict, leg_timeout: float,
     legs = state.setdefault("full", {}).setdefault("legs", [])
     done = any(leg.get("finished") for leg in legs)
     while not done and len(legs) < max_legs:
+        if not wait_for_tunnel(state):
+            print("full: tunnel stayed degraded for an hour; aborting "
+                  "stage (re-invoke later)", flush=True)
+            break
         first = len(legs) == 0
         leg = parse_leg(run_leg(
             ini, resume=not first,
