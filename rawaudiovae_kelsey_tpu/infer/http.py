@@ -86,6 +86,7 @@ class _SessionRegistry:
         self._d: dict = {}          # sid -> [session, last_used_monotonic]
         self._lock = threading.Lock()
         self._seq = 0
+        self._seed_seq = 0
 
     def _evict_expired(self) -> None:
         now = time.monotonic()
@@ -119,9 +120,13 @@ class _SessionRegistry:
             entry = self._d.pop(sid, None)
             return None if entry is None else entry[0]
 
-    def next_seed(self) -> int:
+    def reserve_seed(self) -> int:
+        """Unique per call (incremented under the lock): two concurrent
+        opens must never share a session RNG stream — a read-only
+        ``self._seq + 1`` handed both the same seed."""
         with self._lock:
-            return self._seq + 1
+            self._seed_seq += 1
+            return self._seed_seq
 
     def abort_all(self) -> None:
         with self._lock:
@@ -202,7 +207,7 @@ class _Handler(BaseHTTPRequestHandler):
             sess = self.backend.live_session(
                 hop=hop, ola=ola, target=target, alpha=alpha,
                 timeout=self.request_timeout_s,
-                session_seed=self.sessions.next_seed())
+                session_seed=self.sessions.reserve_seed())
             sid = self.sessions.open(sess)
             if sid is None:
                 sess.abort()

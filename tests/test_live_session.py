@@ -366,3 +366,26 @@ def test_http_stop_with_open_sessions_is_clean():
     srv.stop()
     assert sess.closed
     assert srv.sessions.get(info["session"]) is None
+
+
+def test_registry_reserved_seeds_unique_under_concurrency():
+    """Two concurrent /session/open calls must never share a session RNG
+    seed (the old read-only `_seq + 1` handed both the same value)."""
+    from rawaudiovae_kelsey_tpu.infer.http import _SessionRegistry
+
+    reg = _SessionRegistry()
+    seeds = []
+    lock = threading.Lock()
+
+    def grab():
+        for _ in range(50):
+            s = reg.reserve_seed()
+            with lock:
+                seeds.append(s)
+
+    threads = [threading.Thread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(seeds) == len(set(seeds)) == 400
