@@ -169,6 +169,17 @@ class TPUConfig:
     # perf-first tradeoff documented in DIVERGENCES.md; on a mesh it
     # behaves like "global".
     resident_shuffle: str = "global"  # global | local | block
+    # Device layout for the RESIDENT STREAM trainer's corpus: "frames"
+    # uploads the materialized (n_frames, segment) window matrix;
+    # "samples" uploads the hop-padded per-file sample arrays plus an
+    # int32 start-offset per frame and gathers each window with a strided
+    # dynamic-slice — identical values and identical per-row gather
+    # traffic, at hop/segment of the footprint (hop 128 / seg 1024 → 8×
+    # less HBM and host→device upload; the reference's real erokia corpus
+    # is 6.3 GB as frames, 0.8 GB as samples).  "auto" picks samples on
+    # the single-device path whenever windows overlap (hop < segment);
+    # mesh/multihost paths keep the frames layout.
+    resident_layout: str = "auto"     # auto | frames | samples
     # Reparameterization sampler: "threefry" (jax.random, reproducible
     # across platforms — the default contract) or "tpu_prng" (the Pallas
     # on-chip PRNG kernel, ops/rng.py: eps never touches HBM; stream is
@@ -248,6 +259,10 @@ class Config:
         if self.tpu.resident_shuffle not in ("global", "local", "block"):
             raise ValueError(
                 f"unknown resident_shuffle {self.tpu.resident_shuffle!r}"
+            )
+        if self.tpu.resident_layout not in ("auto", "frames", "samples"):
+            raise ValueError(
+                f"unknown resident_layout {self.tpu.resident_layout!r}"
             )
         if self.tpu.device_resident not in ("auto", "always", "never"):
             raise ValueError(

@@ -282,6 +282,45 @@ class StreamingFrameDataset:
             raise FileNotFoundError(f"no usable wav files in {self.audio_folder}")
         return np.concatenate(parts, axis=0)
 
+    def all_samples(self) -> tuple:
+        """Memory-lean twin of :meth:`all_frames`: ``(samples, starts)``
+        where ``samples`` is every usable file's hop-padded audio
+        concatenated and ``starts[g]`` is the sample offset of global frame
+        ``g`` — ``samples[starts[g] : starts[g] + segment_length]`` equals
+        ``all_frames()[g]`` exactly, at hop/segment of the footprint
+        (overlapping windows are materialized nowhere).  Files too short to
+        yield a window contribute no samples, mirroring ``all_frames``'s
+        empty-part drop.  Raises when the corpus exceeds int32 addressing
+        (such a corpus could not have used the frames layout either)."""
+        parts: List[np.ndarray] = []
+        starts: List[np.ndarray] = []
+        counts: List[int] = []
+        base = 0
+        for f in self.audio_file_list:
+            wave, _ = load(f, sr=self.sampling_rate, mono=self.mono)
+            wave = framing.pad_to_multiple(
+                np.ascontiguousarray(wave), self.hop_size)
+            n = len(wave)
+            c = ((n - self.segment_length) // self.hop_size + 1
+                 if n >= self.segment_length else 0)
+            counts.append(c)
+            if c:
+                parts.append(wave)
+                starts.append(base + np.arange(c, dtype=np.int64)
+                              * self.hop_size)
+                base += n
+        self._frame_counts = counts
+        if not parts:
+            raise FileNotFoundError(
+                f"no usable wav files in {self.audio_folder}")
+        if base >= 2 ** 31:
+            raise ValueError(
+                f"corpus of {base:,} samples exceeds int32 frame "
+                "addressing; use resident_layout=frames (it will not fit "
+                "either) or a smaller corpus")
+        return (np.concatenate(parts),
+                np.concatenate(starts).astype(np.int32))
+
     def index_plan(self) -> Iterator[np.ndarray]:
         """Infinite stream of per-file frame-index arrays into
         :meth:`all_frames`, in EXACTLY the order :meth:`frames_iter` would

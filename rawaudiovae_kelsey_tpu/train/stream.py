@@ -359,9 +359,21 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         return ctx
 
     dtype = jnp.bfloat16 if cfg.tpu.precision == "bfloat16" else jnp.float32
-    frames_np = dataset.all_frames()
     mesh = ctx.mesh
     nproc = jax.process_count()
+    # Corpus layout (schema.py resident_layout): "samples" uploads the
+    # hop-padded sample arrays + an int32 start per frame and gathers each
+    # window with a strided dynamic-slice — identical values and identical
+    # per-row gather bytes, at hop/segment of the HBM + upload footprint
+    # (the reference's erokia corpus: 6.3 GB as frames, 0.8 GB as
+    # samples).  Single-device path only; mesh paths keep frames (their
+    # sharding machinery addresses frame rows).
+    samples_layout = (
+        mesh is None
+        and (cfg.tpu.resident_layout == "samples"
+             or (cfg.tpu.resident_layout == "auto"
+                 and cfg.audio.hop_length < cfg.audio.segment_length)))
+    frames_np = None if samples_layout else dataset.all_frames()
     idx_sharding = None
     idx_put_fn = None
     idx_base = 0
@@ -432,9 +444,18 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         )
         pad_rows = (-batch_size) % mesh.shape[DATA_AXIS]
         idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    elif samples_layout:
+        samples_np, starts_np = dataset.all_samples()
+        n_corpus_frames = len(starts_np)
+        dev_frames = jax.device_put(jnp.asarray(samples_np, dtype))
+        dev_starts = jax.device_put(jnp.asarray(starts_np))
+        del samples_np, starts_np
+        pad_rows = 0
     else:
         dev_frames = jax.device_put(jnp.asarray(frames_np, dtype))
         pad_rows = 0
+    if not samples_layout:
+        dev_starts = jnp.zeros(0, jnp.int32)  # unused placeholder arg
     del frames_np
 
     # chunk = steps per dispatch; truncated to land on checkpoint boundaries.
@@ -476,8 +497,18 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
 
     from rawaudiovae_kelsey_tpu.ops.pallas_mlp import vmem_headroom
 
+    def rows_of(frames, starts, idx):
+        """Gather the (rows, segment) windows for int32 frame indices —
+        a row gather of the frame matrix, or (samples layout) a strided
+        dynamic-slice per start offset (same 2 KB/row gather traffic)."""
+        if samples_layout:
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(frames, (s,), (seg_len,))
+            )(starts[idx])
+        return frames[idx]
+
     @jax.jit
-    def run_chunk(state, idx_chunk, nk, frames):
+    def run_chunk(state, idx_chunk, nk, frames, starts):
         # frames passed as an argument (not closed over): multi-process
         # global arrays may not be captured as jit constants.
         # idx_chunk is ALWAYS (chunk, rows) — short boundary chunks mask
@@ -495,13 +526,14 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                 )
             if pregather:
                 k, rows = idx_chunk.shape
-                idx_chunk = frames[idx_chunk.reshape(-1)].reshape(
-                    k, rows, seg_len)
+                idx_chunk = rows_of(
+                    frames, starts, idx_chunk.reshape(-1)
+                ).reshape(k, rows, seg_len)
 
             def step(s, idx):
                 # `idx` is a row of prefetched frames when pregathered,
                 # else an int32 index row to gather here
-                xb = idx if pregather else frames[idx]
+                xb = idx if pregather else rows_of(frames, starts, idx)
                 key = jax.random.fold_in(s.rng, s.step)
                 if pad_rows:
                     (loss, _aux), grads = wgrad_fn(s.params, key, xb, row_w)
@@ -539,11 +571,15 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
                  f"{mesh.devices.size}-device mesh")
     elif mesh is not None:
         where = f"replicated over {mesh.devices.size}-device mesh"
+    elif samples_layout:
+        where = "on device, samples layout"
     else:
         where = "on device"
-    print(f"Device-resident stream: {dev_frames.shape[0]:,} frames "
-          f"({dev_frames.nbytes / 1e6:,.0f} MB {where}), "
-          f"{chunk} steps/dispatch")
+    n_res_frames = (n_corpus_frames if samples_layout
+                    else dev_frames.shape[0])
+    print(f"Device-resident stream: {n_res_frames:,} frames "
+          f"({(dev_frames.nbytes + dev_starts.nbytes) / 1e6:,.0f} MB "
+          f"{where}), {chunk} steps/dispatch")
 
     train_loss_accum = 0.0
     window_loss, window_count = 0.0, 0
@@ -645,7 +681,7 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     for ci, idx_dev in enumerate(staged):
         k = ks[ci]
         ctx.state, losses = run_chunk(ctx.state, idx_dev,
-                                      jnp.int32(k), dev_frames)
+                                      jnp.int32(k), dev_frames, dev_starts)
         pending.append((batch_id, k, losses))  # no sync in the hot loop
         L.prefetch_host(losses)  # drain finds the bytes already en route
         batch_id += k

@@ -293,3 +293,42 @@ def test_streaming_few_files_shared_decode(stream_dir):
     a = np.concatenate(list(itertools.islice(ds.frames_iter(), 9)))
     b = np.concatenate(list(itertools.islice(ref.frames_iter(), 9)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_all_samples_matches_all_frames(stream_dir):
+    """The samples-layout contract: samples[starts[g] : starts[g]+seg]
+    reproduces all_frames()[g] for EVERY global frame, including per-file
+    hop padding and the short-file drop rule."""
+    from rawaudiovae_kelsey_tpu.data.datasets import StreamingFrameDataset
+
+    ds = StreamingFrameDataset(stream_dir, 44100, 128, 512, shuffle=False)
+    frames = ds.all_frames()
+    ds2 = StreamingFrameDataset(stream_dir, 44100, 128, 512, shuffle=False)
+    samples, starts = ds2.all_samples()
+    assert starts.dtype == np.int32
+    assert len(starts) == len(frames)
+    for g in range(len(frames)):
+        np.testing.assert_array_equal(
+            samples[starts[g]:starts[g] + 512], frames[g])
+    # frame_counts memoized by all_samples == the decode-based counts
+    assert ds2.frame_counts() == ds.frame_counts()
+
+
+def test_all_samples_drops_short_files(tmp_path):
+    d = tmp_path / "audio"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    write_wav(d / "long.wav",
+              rng.uniform(-0.5, 0.5, 2000).astype(np.float32), 44100)
+    write_wav(d / "short.wav",
+              rng.uniform(-0.5, 0.5, 100).astype(np.float32), 44100)
+    from rawaudiovae_kelsey_tpu.data.datasets import StreamingFrameDataset
+
+    ds = StreamingFrameDataset(d, 44100, 128, 512, shuffle=False)
+    frames = ds.all_frames()
+    samples, starts = StreamingFrameDataset(
+        d, 44100, 128, 512, shuffle=False).all_samples()
+    assert len(starts) == len(frames)
+    for g in range(len(frames)):
+        np.testing.assert_array_equal(
+            samples[starts[g]:starts[g] + 512], frames[g])

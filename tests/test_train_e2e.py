@@ -681,3 +681,42 @@ def test_orbax_async_with_retention(scratch_dataset):
         (ctx.workspace.checkpoint_dir / "orbax_00007" / "meta.json")
         .read_text())
     assert meta["epoch"] == 7
+
+
+def test_stream_resident_samples_layout_matches_frames(scratch_dataset):
+    """resident_layout=samples (hop-padded sample array + strided
+    dynamic-slice gather) must reproduce the frames-layout run exactly:
+    same stream order, same windows, same fold_in keys -> identical
+    Loss/Batch sequences.  The samples layout is the default (auto) on the
+    single-device path when windows overlap -- hop < segment here, so the
+    'auto' run below IS the samples path (asserted via the console line)."""
+    import contextlib
+    import io as _io
+
+    from rawaudiovae_kelsey_tpu.train import loop as L
+    from rawaudiovae_kelsey_tpu.train import stream
+
+    runs = {}
+    for layout in ("samples", "frames"):
+        cfg = small_cfg(scratch_dataset)
+        cfg.tpu.device_resident = "always"
+        cfg.tpu.resident_layout = layout
+        cfg.training.total_num_frames = 32 * 10
+        cfg.training.checkpoint_interval = 5
+        # use_mesh=False: the conftest 8-device mesh would route to the
+        # replicated branch, which keeps the frames layout by design
+        buf = _io.StringIO()
+        ctx = L.setup(cfg, use_mesh=False)
+        try:
+            with contextlib.redirect_stdout(buf):
+                ctx = stream._run(ctx, cfg, verbose=False)
+        finally:
+            L.finish(ctx)
+        txt = buf.getvalue()
+        if layout == "samples":
+            assert "samples layout" in txt, txt[-400:]
+        else:
+            assert "samples layout" not in txt
+        runs[layout] = _loss_batch_history(ctx)
+    assert len(runs["samples"]) == len(runs["frames"]) == 10
+    np.testing.assert_array_equal(runs["samples"], runs["frames"])
