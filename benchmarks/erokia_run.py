@@ -510,6 +510,11 @@ def stage_full(root: Path, state: dict, leg_timeout: float,
                   flush=True)
             break
 
+    if not done:
+        # nonzero exit so a retry wrapper can re-invoke when the tunnel
+        # heals; every completed leg is already checkpointed in the state
+        raise SystemExit("full: incomplete (tunnel or leg budget) — "
+                         "re-invoke to continue from the recorded legs")
     if done:
         trail = loss_history(desc_dir)
         summary = trail_summary(trail["hist"], TOTAL_BATCHES)
