@@ -368,8 +368,13 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
     # (the reference's erokia corpus: 6.3 GB as frames, 0.8 GB as
     # samples).  Single-device path only; mesh paths keep frames (their
     # sharding machinery addresses frame rows).
+    # Single-process only: the DCN-spanning multihost path stitches
+    # per-host FRAME shards along the data axis (its local→global row map
+    # addresses frame rows).  The single-device and replicated-mesh paths
+    # both take the samples layout (the replicated path pays the frame
+    # matrix PER DEVICE — 8× savings on every chip).
     samples_layout = (
-        mesh is None
+        nproc == 1
         and (cfg.tpu.resident_layout == "samples"
              or (cfg.tpu.resident_layout == "auto"
                  and cfg.audio.hop_length < cfg.audio.segment_length)))
@@ -439,9 +444,18 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         # the data-axis multiple and the pad rows are masked out of the
         # loss/grads (make_weighted_loss_fn), so compute stays parallel
         # and the loss sequence is identical to the unpadded one.
-        dev_frames = jax.device_put(
-            jnp.asarray(frames_np, dtype), NamedSharding(mesh, P())
-        )
+        if samples_layout:
+            samples_np, starts_np = dataset.all_samples()
+            n_corpus_frames = len(starts_np)
+            dev_frames = jax.device_put(
+                jnp.asarray(samples_np, dtype), NamedSharding(mesh, P()))
+            dev_starts = jax.device_put(
+                jnp.asarray(starts_np), NamedSharding(mesh, P()))
+            del samples_np, starts_np
+        else:
+            dev_frames = jax.device_put(
+                jnp.asarray(frames_np, dtype), NamedSharding(mesh, P())
+            )
         pad_rows = (-batch_size) % mesh.shape[DATA_AXIS]
         idx_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     elif samples_layout:
@@ -570,7 +584,8 @@ def _run_resident(ctx: L.TrainContext, cfg: Config, verbose: bool, stop,
         where = (f"host-sharded over {nproc} hosts / "
                  f"{mesh.devices.size}-device mesh")
     elif mesh is not None:
-        where = f"replicated over {mesh.devices.size}-device mesh"
+        where = (f"replicated over {mesh.devices.size}-device mesh"
+                 + (", samples layout" if samples_layout else ""))
     elif samples_layout:
         where = "on device, samples layout"
     else:
