@@ -223,6 +223,7 @@ def wait_for_tunnel(state: dict, min_mbps: float = 3.0,
     while True:
         mbps = tunnel_mbps()
         probes.append({"t": time.strftime("%H:%M:%S"), "mbps": mbps})
+        del probes[:-60]          # keep the report bounded across retries
         save_state(state)
         if mbps is not None and mbps >= min_mbps:
             return True
@@ -383,6 +384,9 @@ def stage_ab(root: Path, state: dict, timeout: float) -> None:
     run's gap-free trail."""
     import shutil
 
+    if state.get("ab_seamlessness", {}).get("bit_identical"):
+        print("ab: already recorded bit_identical; skipping", flush=True)
+        return
     ab_root = root.parent / (root.name + "_ab")
     audio = ab_root / "audio"
     if not audio.exists():
@@ -537,6 +541,28 @@ def stage_full(root: Path, state: dict, leg_timeout: float,
                 "tb_events": len(list(
                     (run_dir / "logs").glob("events.*"))),
             }
+        # final reconstruction quality: MSE between the eval fixture's
+        # ground truth and the LAST periodic reconstruction the production
+        # loop wrote (the reference's perceptual-monitoring artifact,
+        # tests.py:41 / train_iterable.py:228-251 — here scored, not just
+        # listened to)
+        quality = None
+        from rawaudiovae_kelsey_tpu.io import read_wav
+        recons = sorted(desc_dir.glob(
+            "run-*/audio_logs/test_reconst_*.wav"))
+        origs = sorted(desc_dir.glob("run-*/audio_logs/test_original.wav"))
+        if recons and origs:
+            ref, _ = read_wav(origs[-1])
+            first, _ = read_wav(recons[0])
+            last, _ = read_wav(recons[-1])
+            n = min(len(ref), len(first), len(last))
+            quality = {
+                "against": str(origs[-1].relative_to(desc_dir)),
+                "first_ckpt_mse": float(np.mean(
+                    (ref[:n] - first[:n]) ** 2)),
+                "final_mse": float(np.mean((ref[:n] - last[:n]) ** 2)),
+                "final_reconstruction": recons[-1].name,
+            }
         walls = [leg["wall_s"] for leg in legs]
         startup = [leg.get("t_first_batch_s") for leg in legs
                    if leg.get("t_first_batch_s") is not None]
@@ -554,6 +580,7 @@ def stage_full(root: Path, state: dict, leg_timeout: float,
                                           "timeout-sigterm"))
                 for leg in legs[:-1]),
             "loss_trail": summary,
+            "reconstruction_quality": quality,
             "artifacts": inv,
         })
         save_state(state)
@@ -574,6 +601,14 @@ def stage_report(state: dict) -> None:
              if leg.get("window_rate_median")]
     e2e = [leg.get("e2e_frames_per_s") for leg in legs
            if leg.get("e2e_frames_per_s")]
+    q = full.get("reconstruction_quality")
+    if q:
+        qline = (f"- Final reconstruction quality vs the eval fixture's "
+                 f"`{q['against']}`: MSE {q['first_ckpt_mse']:.6f} at the "
+                 f"first checkpoint → **{q['final_mse']:.6f}** at the last "
+                 f"(`{q['final_reconstruction']}`).")
+    else:
+        qline = "- Reconstruction quality: n/a (no wavs found)."
     lines = [
         "# The reference's production run, end to end",
         "",
@@ -623,6 +658,7 @@ def stage_report(state: dict) -> None:
         f"(collisions {trail.get('collisions')}); loss "
         f"{trail.get('first_loss'):.6f} → {trail.get('last_loss'):.6f} "
         f"(min {trail.get('min_loss'):.6f}).",
+        qline,
         f"- Steady checkpoint-window rates (boundary I/O excluded): "
         f"median per leg {rates} frames/s; whole-loop e2e incl. "
         f"checkpoints: {e2e} frames/s.",
