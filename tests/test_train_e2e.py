@@ -703,8 +703,9 @@ def test_stream_resident_samples_layout_matches_frames(scratch_dataset):
         cfg.tpu.resident_layout = layout
         cfg.training.total_num_frames = 32 * 10
         cfg.training.checkpoint_interval = 5
-        # use_mesh=False: the conftest 8-device mesh would route to the
-        # replicated branch, which keeps the frames layout by design
+        # use_mesh=False: pin the plain single-device branch specifically
+        # (the replicated-mesh branch also takes the samples layout under
+        # auto and is exercised by test_stream_resident_mesh_matches_host_fed)
         buf = _io.StringIO()
         ctx = L.setup(cfg, use_mesh=False)
         try:
