@@ -379,7 +379,7 @@ def trail_summary(hist: dict, expected_n: int) -> dict:
 
 def stage_ab(root: Path, state: dict, timeout: float) -> None:
     """Interrupted+resumed vs uninterrupted, SAME seed/order/model shape
-    (2-file subset corpus, 300-batch budget): the Loss/Batch sequences
+    (2-file subset corpus, 3000-batch budget): the Loss/Batch sequences
     must be IDENTICAL — the bit-seamlessness certificate behind the full
     run's gap-free trail."""
     import shutil
@@ -686,8 +686,11 @@ def main() -> None:
     ap.add_argument("--root", type=Path, default=Path("/tmp/erokia"))
     ap.add_argument("--stage", choices=["corpus", "ab", "full", "report",
                                         "all"], default="all")
-    ap.add_argument("--leg-timeout", type=float, default=480.0)
-    ap.add_argument("--ab-timeout", type=float, default=420.0)
+    # Sized to the 3 MB/s tunnel gate: the AB uninterrupted run must fit
+    # ONE leg, and its 20 checkpoint boundaries drain ~1.9 GB of state
+    # over the link (~10.5 min at the gate minimum) + startup.
+    ap.add_argument("--leg-timeout", type=float, default=600.0)
+    ap.add_argument("--ab-timeout", type=float, default=900.0)
     ap.add_argument("--max-legs", type=int, default=12)
     args = ap.parse_args()
 
