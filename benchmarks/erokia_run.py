@@ -609,6 +609,35 @@ def stage_report(state: dict) -> None:
                  f"(`{q['final_reconstruction']}`).")
     else:
         qline = "- Reconstruction quality: n/a (no wavs found)."
+    if not (ab.get("bit_identical") is not None and full.get("complete")):
+        # partial state (the axon link can stay collapsed for hours —
+        # CLAUDE.md): write an honest status report instead of crashing on
+        # missing fields; a later complete run overwrites it
+        probes = state.get("tunnel_probes", [])
+        ok = [p["mbps"] for p in probes if p.get("mbps")]
+        REPORT_MD.write_text("\n".join([
+            "# The reference's production run — status: INCOMPLETE",
+            "",
+            "The harness (benchmarks/erokia_run.py) is blocked on tunnel "
+            "health, not on code: every leg gates on a measured link probe "
+            "and the axon link stayed below the 3 MB/s floor.",
+            "",
+            f"- Corpus: **{corpus.get('total_frames', 0):,} frames** built "
+            f"and loader-verified (reference erokia count exactly).",
+            f"- A/B seamlessness: "
+            f"{'PROVEN bit-identical' if ab.get('bit_identical') else 'not yet run'}.",
+            f"- Full-run legs recorded: {len(legs)} "
+            f"(complete: {bool(full.get('complete'))}).",
+            f"- Tunnel probes this session: {len(probes)} "
+            f"({len(ok)} returned at all; best "
+            f"{max(ok) if ok else 0:.2f} MB/s — gate is 3 MB/s).",
+            "",
+            "Re-invoke `python benchmarks/erokia_run.py` when the link "
+            "heals; every stage is idempotent and resumes from "
+            "docs/RUN.json.",
+        ]) + "\n")
+        print(f"partial report written: {REPORT_MD}", flush=True)
+        return
     lines = [
         "# The reference's production run, end to end",
         "",
