@@ -377,7 +377,8 @@ def trail_summary(hist: dict, expected_n: int) -> dict:
 
 # -------------------------------------------------------------------- ab --
 
-def stage_ab(root: Path, state: dict, timeout: float) -> None:
+def stage_ab(root: Path, state: dict, timeout: float,
+             min_mbps: float = 3.0) -> None:
     """Interrupted+resumed vs uninterrupted, SAME seed/order/model shape
     (2-file subset corpus, 3000-batch budget): the Loss/Batch sequences
     must be IDENTICAL — the bit-seamlessness certificate behind the full
@@ -411,7 +412,7 @@ def stage_ab(root: Path, state: dict, timeout: float) -> None:
             shutil.rmtree(desc_dir)
         ini = write_ini(ab_root / f"{desc}.ini", ab_root, desc,
                         n_batches * BATCH, interval)
-        if not wait_for_tunnel(state):
+        if not wait_for_tunnel(state, min_mbps=min_mbps):
             raise SystemExit("ab: tunnel stayed degraded for an hour")
         legs = []
         if name == "uninterrupted":
@@ -470,7 +471,7 @@ def stage_ab(root: Path, state: dict, timeout: float) -> None:
 # ------------------------------------------------------------------ full --
 
 def stage_full(root: Path, state: dict, leg_timeout: float,
-               max_legs: int) -> None:
+               max_legs: int, min_mbps: float = 3.0) -> None:
     import shutil
 
     desc = "kelsey_erokia_tpu"
@@ -487,7 +488,7 @@ def stage_full(root: Path, state: dict, leg_timeout: float,
     legs = state.setdefault("full", {}).setdefault("legs", [])
     done = any(leg.get("finished") for leg in legs)
     while not done and len(legs) < max_legs:
-        if not wait_for_tunnel(state):
+        if not wait_for_tunnel(state, min_mbps=min_mbps):
             print("full: tunnel stayed degraded for an hour; aborting "
                   "stage (re-invoke later)", flush=True)
             break
@@ -721,15 +722,20 @@ def main() -> None:
     ap.add_argument("--leg-timeout", type=float, default=600.0)
     ap.add_argument("--ab-timeout", type=float, default=900.0)
     ap.add_argument("--max-legs", type=int, default=12)
+    ap.add_argument("--min-mbps", type=float, default=3.0,
+                    help="tunnel-health gate: minimum measured link MB/s "
+                         "before a leg may launch (lower deliberately on a "
+                         "stable-but-slow link; drains scale walls 1/rate)")
     args = ap.parse_args()
 
     state = load_state()
     if args.stage in ("corpus", "all"):
         stage_corpus(args.root, state)
     if args.stage in ("ab", "all"):
-        stage_ab(args.root, state, args.ab_timeout)
+        stage_ab(args.root, state, args.ab_timeout, args.min_mbps)
     if args.stage in ("full", "all"):
-        stage_full(args.root, state, args.leg_timeout, args.max_legs)
+        stage_full(args.root, state, args.leg_timeout, args.max_legs,
+                   args.min_mbps)
     if args.stage in ("report", "all"):
         stage_report(state)
 
